@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark: MD steps/sec with a SimModel pair potential.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
+
+Baseline: the reference's committed pytest-benchmark result -- 451 steps/s
+(LJ SimModel, N=256, NN=64, CPU Xeon; see BASELINE.md). The headline config
+here is the BASELINE.json target scale (64k particles) when a cell-list
+build is available; set HTF_BENCH_N to override.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+import hoomd_tf_tpu as htf
+
+
+class LJ(htf.SimModel):
+    def compute(self, nlist, positions, box):
+        rinv = htf.nlist_rinv(nlist)
+        inv_r6 = rinv ** 6
+        p_energy = 4.0 / 2.0 * (inv_r6 * inv_r6 - inv_r6)
+        energy = jnp.sum(p_energy, axis=1)
+        return htf.compute_nlist_forces(nlist, energy)
+
+
+def main():
+    on_tpu = jax.devices()[0].platform == "tpu"
+    n = int(os.environ.get("HTF_BENCH_N", 4096 if not on_tpu else 4096))
+    nn = int(os.environ.get("HTF_BENCH_NN", 64))
+    steps = int(os.environ.get("HTF_BENCH_STEPS", 1000))
+    r_cut = 3.0
+
+    model = LJ(nn)
+    sim = htf.Simulation(dt=0.005, integrator=htf.md.NVT(kT=1.2, tau=0.5),
+                         seed=0)
+    sim.init_lattice(n, density=0.4, kT_init=1.2)
+    tfc = htf.tfcompute(model)
+    tfc.attach(sim, r_cut=r_cut)
+
+    # warmup + compile
+    sim.run(10)
+    jax.block_until_ready(sim.state.positions)
+
+    t0 = time.perf_counter()
+    sim.run(steps)
+    jax.block_until_ready(sim.state.positions)
+    dt = time.perf_counter() - t0
+
+    steps_per_s = steps / dt
+    baseline = 451.0  # reference steps/s (N=256, NN=64, CPU; BASELINE.md)
+    print(json.dumps({
+        "metric": f"LJ MD steps/s (N={n}, NN={nn}, fused jit step)",
+        "value": round(steps_per_s, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_s / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

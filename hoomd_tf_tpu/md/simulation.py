@@ -1,0 +1,361 @@
+"""The Simulation driver: one jitted XLA program per run.
+
+This is the TPU-native replacement for the whole reference coupling stack
+(``tfcompute`` driver + ``TensorflowCompute`` C++ + custom ops + HOOMD's
+integrator loop, SURVEY.md section 3.1): each MD step fuses
+
+1. neighbor-list build (``[N, NN, 4]`` padded, minimum-image),
+2. built-in pair forces (cross-oracle / training-label forces),
+3. ``SimModel.compute`` force/virial evaluation every ``period`` steps
+   (stale model forces persist in between, matching the reference's
+   period gating, ``TensorflowCompute.cc:133``),
+4. optional online training (optax update with reference forces as labels,
+   the ``FORCE_MODE::hoomd2tf`` path),
+5. integration (NVE/NVT/Langevin/Brownian),
+
+into a single ``lax.scan`` body with zero host involvement. There are no
+staging buffers, callbacks, or per-batch device syncs to manage -- the
+boundary-crossing inventory of SURVEY.md section 3.1 is empty by design.
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import integrators as _integrators
+from .state import SimState, init_state, lattice_positions
+from . import thermo as _thermo
+from ..ops.nlist import compute_nlist
+from ..ops.box import box_size
+from ..models.module import get_state, set_state
+
+__all__ = ["Simulation"]
+
+
+class Simulation:
+    """An MD simulation owning state, integrator and force computes.
+
+    :param dt: timestep.
+    :param integrator: an integrator from :mod:`.integrators`
+        (default :class:`.integrators.NVE`).
+    :param seed: PRNG seed for stochastic integrators / initialization.
+
+    Built-in forces are added with :meth:`add_force`; a :class:`..models.
+    simmodel.SimModel` is attached through :class:`..driver.tfcompute`.
+    """
+
+    def __init__(self, dt=0.005, integrator=None, seed=0):
+        self.dt = float(dt)
+        self.integrator = integrator or _integrators.NVE()
+        self.seed = seed
+        self.state = None
+        self.forces = []
+        self.tfc = None         # attached tfcompute driver (or None)
+        self._scan_cache = {}
+        self._warm = False
+
+    # ------------------------------------------------------------------
+    # state initialization
+    # ------------------------------------------------------------------
+    def init_lattice(self, n, density=None, a=None, kind="sc", types=None,
+                     kT_init=None, masses=None):
+        """Place ``n`` particles on a lattice in a centered cubic box."""
+        pos, lengths = lattice_positions(n, density=density, a=a, kind=kind)
+        self.state = init_state(pos, lengths, types=types, masses=masses,
+                                kT_init=kT_init, seed=self.seed)
+        self._post_init()
+        return self.state
+
+    def init_state(self, positions, box, **kwargs):
+        kwargs.setdefault("seed", self.seed)
+        self.state = init_state(positions, box, **kwargs)
+        self._post_init()
+        return self.state
+
+    def set_state(self, state):
+        self.state = state
+        self._post_init()
+        return self.state
+
+    def _post_init(self):
+        self.state = dataclasses.replace(
+            self.state, thermostat=self.integrator.init(self.state))
+        self._scan_cache.clear()
+
+    # ------------------------------------------------------------------
+    def add_force(self, force):
+        """Register a built-in force compute
+        (``force(state, nlist) -> (forces [N,4], virial [N,3,3])``)."""
+        self.forces.append(force)
+        self._scan_cache.clear()
+        return force
+
+    def thermo(self):
+        """Current thermodynamic quantities (dict of scalars)."""
+        return {k: float(v) for k, v in _thermo.thermo(self.state).items()}
+
+    # ------------------------------------------------------------------
+    # neighbor list
+    # ------------------------------------------------------------------
+    def _nlist_config(self):
+        if self.tfc is None:
+            return None
+        return (self.tfc.r_cut, self.tfc.nneighbor_cutoff)
+
+    def _build_nlist(self, state):
+        """Padded ``[N, NN, 4]`` neighbor list with neighbor type in the
+        4th channel. Mapped (CG) beads and all-atom particles never
+        neighbor each other (reference rcut() matrix, ``tensorflowcompute.
+        py:284-305``)."""
+        tfc = self.tfc
+        r_cut, NN = tfc.r_cut, max(1, tfc.nneighbor_cutoff)
+        pos4 = state.positions4
+        exclusion = None
+        if tfc.map_enabled:
+            is_map = jnp.arange(state.n_particles) >= tfc.model._map_i
+            exclusion = is_map[:, None] != is_map[None, :]
+        return compute_nlist(pos4, r_cut, NN, box_size(state.box),
+                             sorted=True, return_types=True,
+                             exclusion_matrix=exclusion)
+
+    # ------------------------------------------------------------------
+    # the fused step
+    # ------------------------------------------------------------------
+    def _builtin_forces(self, state, nlist, subset=None):
+        n = state.n_particles
+        dtype = state.positions.dtype
+        f = jnp.zeros((n, 4), dtype=dtype)
+        w = jnp.zeros((n, 3, 3), dtype=dtype)
+        for force in (subset if subset is not None else self.forces):
+            fi, wi = force(state, nlist)
+            f = f + fi
+            w = w + wi
+        return f, w
+
+    def _make_step(self, n_extras, extras_shapes):
+        """Build the scan body. Static configuration is closed over."""
+        tfc = self.tfc
+        model = tfc.model if tfc else None
+        dt = self.dt
+        integ = self.integrator
+        period = tfc.period if tfc else 1
+        train = tfc.train if tfc else False
+
+        def model_inputs(state, nlist, with_labels=False, labels=None):
+            inputs = [nlist, state.positions4, state.box]
+            if with_labels:
+                inputs.append(labels)
+            return inputs
+
+        def eval_model(mv, state, nlist):
+            """One model force evaluation (the reference's _finish_update,
+            tf2hoomd branch)."""
+            inputs = model_inputs(state, nlist)
+
+            def fn():
+                out = model(inputs, training=False)
+                return out
+            (out), new_mv = _functional(model, mv, fn)
+            offset = tfc.output_offset
+            forces4 = jnp.zeros((state.n_particles, 4),
+                                dtype=state.positions.dtype)
+            virial = jnp.zeros((state.n_particles, 3, 3),
+                               dtype=state.positions.dtype)
+            if model.output_forces:
+                f = out[0]
+                if f.shape[-1] == 3:
+                    f = jnp.concatenate(
+                        [f, jnp.zeros_like(f[:, :1])], axis=-1)
+                forces4 = f
+                if model.virial and len(out) > 1:
+                    virial = out[1]
+            extras = tuple(out[offset:])
+            return forces4, virial, extras, new_mv
+
+        def train_model(mv, opt_state, state, nlist, labels):
+            """One online training step (the reference's hoomd2tf branch,
+            ``tensorflowcompute.py:346-370``)."""
+            import optax
+            variables = model.variables
+            trainable_idx = tfc.trainable_idx
+            inputs = model_inputs(state, nlist)
+
+            def loss_fn(params, mv):
+                vals = list(mv)
+                for i, p in zip(trainable_idx, params):
+                    vals[i] = p
+                def fn():
+                    out = model(inputs, training=True)
+                    return model.compute_loss(out, labels), out
+                (loss_out, new_vals) = _functional(model, vals, fn)
+                loss, out = loss_out
+                return loss, (new_vals, out)
+
+            params = [mv[i] for i in trainable_idx]
+            (loss, (new_vals, out)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, mv)
+            updates, opt_state = tfc.optimizer.update(grads, opt_state,
+                                                      params)
+            params = optax.apply_updates(params, updates)
+            params = [variables[i].constraint(p) if variables[i].constraint
+                      else p for i, p in zip(trainable_idx, params)]
+            for j, i in enumerate(trainable_idx):
+                new_vals[i] = params[j]
+            extras = tuple(out[tfc.output_offset:])
+            return loss, extras, new_vals, opt_state
+
+        def step(carry, _):
+            state, mv, opt_state, model_forces, model_virial = carry
+            state = integ.pre_force(state, dt)
+            # CG mapped positions write-back (reference precompute,
+            # simmodel.py:289-339) happens before the nlist build
+            if tfc is not None and tfc.map_enabled:
+                state = tfc.apply_mapping(state)
+            if tfc is not None and tfc.nneighbor_cutoff > 0:
+                nlist = self._build_nlist(state)
+            else:
+                nlist = jnp.zeros(
+                    (state.n_particles, 1, 4), dtype=state.positions.dtype)
+
+            loss = jnp.asarray(0.0, dtype=state.positions.dtype)
+            extras = tuple(
+                jnp.zeros(s, dtype=state.positions.dtype)
+                for s in extras_shapes)
+            if tfc is not None:
+                recompute = (state.step % period) == 0
+                if not train:
+                    def do_eval(args):
+                        mv, mf, mvir = args
+                        f, w, ex, new_mv = eval_model(mv, state, nlist)
+                        return new_mv, f, w, ex
+
+                    def keep(args):
+                        mv, mf, mvir = args
+                        return mv, mf, mvir, extras
+
+                    mv, model_forces, model_virial, extras = jax.lax.cond(
+                        recompute, do_eval, keep,
+                        (mv, model_forces, model_virial))
+                    f_b, w_b = self._builtin_forces(state, nlist)
+                    net_f = f_b + model_forces
+                    net_w = w_b + model_virial
+                else:
+                    # labels: selected reference forces, or all built-ins
+                    f_ref, w_ref = self._builtin_forces(
+                        state, nlist, subset=tfc.reference_forces or None)
+                    def do_train(args):
+                        mv, opt_state = args
+                        l, ex, new_mv, new_opt = train_model(
+                            mv, opt_state, state, nlist, f_ref)
+                        return new_mv, new_opt, l, ex
+
+                    def keep(args):
+                        mv, opt_state = args
+                        return mv, opt_state, loss, extras
+
+                    mv, opt_state, loss, extras = jax.lax.cond(
+                        recompute, do_train, keep, (mv, opt_state))
+                    f_b, w_b = self._builtin_forces(state, nlist)
+                    net_f, net_w = f_b, w_b
+            else:
+                f_b, w_b = self._builtin_forces(state, nlist)
+                net_f, net_w = f_b, w_b
+
+            if tfc is not None and tfc.map_enabled:
+                # CG beads are virtual: they exert no direct force and are
+                # repositioned by the mapping each step (reference: only
+                # the aa_group is integrated)
+                keep_rows = (jnp.arange(state.n_particles) <
+                             tfc.model._map_i).astype(net_f.dtype)
+                net_f = net_f * keep_rows[:, None]
+            state = dataclasses.replace(state, forces=net_f, virial=net_w)
+            state = integ.post_force(state, dt)
+            state = dataclasses.replace(state, step=state.step + 1)
+            ys = (loss, extras) if (train or n_extras) else (loss, ())
+            return (state, mv, opt_state, model_forces, model_virial), ys
+
+        return step
+
+    # ------------------------------------------------------------------
+    def _warmup(self):
+        """One eager model call to build lazy variables and discover the
+        extra-output shapes before functionalizing for the scan."""
+        tfc = self.tfc
+        if tfc is None:
+            return 0, ()
+        nlist = self._build_nlist(self.state)
+        inputs = [nlist, self.state.positions4, self.state.box]
+        tfc.model.ensure_built(inputs, training=tfc.train)
+        out = _eval_silent(tfc.model, inputs, tfc.train)
+        extras = out[tfc.output_offset:]
+        return len(extras), tuple(tuple(e.shape) for e in extras)
+
+    def run(self, n, **kwargs):
+        """Advance the simulation ``n`` steps (one compiled scan)."""
+        if self.state is None:
+            raise RuntimeError("Initialize the simulation state first "
+                               "(init_lattice / init_state)")
+        n = int(n)
+        if n <= 0:
+            return
+        tfc = self.tfc
+        n_extras, extras_shapes = self._warmup() if tfc else (0, ())
+
+        cache_key = (n, n_extras, extras_shapes,
+                     tfc.config_key if tfc else None,
+                     len(self.forces))
+        if cache_key not in self._scan_cache:
+            step = self._make_step(n_extras, extras_shapes)
+
+            @jax.jit
+            def scan_n(carry):
+                return jax.lax.scan(step, carry, None, length=n)
+            self._scan_cache[cache_key] = scan_n
+
+        mv = get_state(tfc.model) if tfc else []
+        opt_state = tfc.ensure_opt_state(mv) if (tfc and tfc.train) else ()
+        dtype = self.state.positions.dtype
+        nparticles = self.state.n_particles
+        # model forces persist across run() calls (the reference's staging
+        # buffer persists between period-gated evaluations)
+        mf0, mvir0 = (tfc.persisted_model_forces(nparticles, dtype)
+                      if tfc else
+                      (jnp.zeros((nparticles, 4), dtype=dtype),
+                       jnp.zeros((nparticles, 3, 3), dtype=dtype)))
+        carry = (self.state, mv, opt_state, mf0, mvir0)
+        (state, mv, opt_state, mf, mvir), ys = \
+            self._scan_cache[cache_key](carry)
+        self.state = state
+        if tfc:
+            set_state(tfc.model, mv)
+            tfc._model_forces, tfc._model_virial = mf, mvir
+            if tfc.train:
+                tfc.opt_state = opt_state
+            tfc.collect_outputs(np.asarray(state.step) - n, n, ys)
+            tfc.check_overflow()
+
+
+def _functional(model, values, fn):
+    """Run ``fn`` with the model's variables set to ``values``; return
+    ``(fn(), new_values)`` and restore prior state."""
+    old = get_state(model)
+    set_state(model, values)
+    try:
+        out = fn()
+        new_values = get_state(model)
+    finally:
+        set_state(model, old)
+    return out, new_values
+
+
+def _eval_silent(model, inputs, train):
+    """Eager warmup call that leaves variable state untouched."""
+    snap = get_state(model)
+    try:
+        out = model(inputs, training=train)
+    finally:
+        set_state(model, snap)
+    return out

@@ -1,0 +1,6 @@
+from .mesh import make_mesh
+from .shard import (sharded_force_fn, sharded_nlist, data_parallel_grads,
+                    sharded_train_step)
+
+__all__ = ["make_mesh", "sharded_force_fn", "sharded_nlist",
+           "data_parallel_grads", "sharded_train_step"]

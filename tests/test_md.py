@@ -1,0 +1,262 @@
+"""MD engine: integrators, the fused step, cross-oracle force checks,
+energy conservation, thermo."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+import hoomd_tf_tpu as htf
+import zoo
+
+
+def np_min_image(r, box_lengths):
+    return r - np.round(r / box_lengths) * box_lengths
+
+
+def numpy_simple_forces(positions, box_lengths, r_cut):
+    """The reference's pure-numpy 1/r^2 oracle
+    (test_tensorflow.py:20-35), vectorized."""
+    n = len(positions)
+    forces = np.zeros((n, 3))
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            r = np_min_image(positions[j] - positions[i], box_lengths)
+            rd = np.linalg.norm(r)
+            if rd <= r_cut and rd > 1e-6:
+                forces[i] += -r / rd
+    return forces
+
+
+def numpy_lj(positions, box_lengths, r_cut):
+    """Per-particle LJ forces and energies, pure numpy."""
+    n = len(positions)
+    forces = np.zeros((n, 3))
+    energy = np.zeros(n)
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            r = np_min_image(positions[j] - positions[i], box_lengths)
+            rd = np.linalg.norm(r)
+            if rd <= r_cut and rd > 1e-6:
+                inv6 = rd ** -6
+                energy[i] += 0.5 * 4 * (inv6 ** 2 - inv6)
+                # dU/dr along r̂; force on i is -dU/dr * (-r̂) ... net:
+                fmag = 24 * (2 * rd ** -13 - rd ** -7)
+                forces[i] += -fmag * (r / rd)
+    return forces, energy
+
+
+def make_sim(n=9, a=4.0, integrator=None, seed=1, kT_init=None, dt=0.005):
+    sim = htf.Simulation(dt=dt, integrator=integrator or htf.md.NVE(),
+                         seed=seed)
+    sim.init_lattice(n, a=a, kT_init=kT_init)
+    return sim
+
+
+class TestForceOverwrite:
+    """Port of the reference test_force_overwrite: engine forces match the
+    pure-numpy oracle step after step."""
+
+    def test_simple_potential_forces(self):
+        n = 9
+        r_cut = 5.0
+        model = zoo.SimplePotential(n - 1)
+        sim = make_sim(n=n, a=4.0, kT_init=2.0)
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=r_cut)
+        sim.run(2)
+        for _ in range(3):
+            pos = np.asarray(sim.state.positions)
+            box_l = np.asarray(htf.box_size(sim.state.box))
+            expected = numpy_simple_forces(pos, box_l, r_cut)
+            got = tfc.get_forces_array()[:, :3]
+            np.testing.assert_allclose(got, expected, atol=1e-4)
+            sim.run(10)
+
+    def test_lj_model_forces(self):
+        n = 9
+        r_cut = 5.0
+        model = zoo.LJModel(n - 1)
+        sim = make_sim(n=n, a=1.8, kT_init=0.5, dt=0.001)
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=r_cut)
+        sim.run(5)
+        pos = np.asarray(sim.state.positions)
+        box_l = np.asarray(htf.box_size(sim.state.box))
+        f_ref, e_ref = numpy_lj(pos, box_l, r_cut)
+        got = tfc.get_forces_array()
+        np.testing.assert_allclose(got[:, :3], f_ref, atol=1e-3)
+        np.testing.assert_allclose(got[:, 3], e_ref, atol=1e-4)
+
+
+class TestCrossOracle:
+    """The reference's strongest test pattern: same simulation under the
+    model and under an independent implementation, compared per step
+    (test_tensorflow.py:335-382)."""
+
+    def test_lj_model_vs_builtin(self):
+        n = 16
+        r_cut = 3.0
+        steps = 20
+
+        model = zoo.LJModel(n - 1)
+        sim_a = make_sim(n=n, a=1.5, kT_init=1.0, dt=0.001,
+                         integrator=htf.md.NVT(kT=1.0, tau=0.2))
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim_a, r_cut=r_cut)
+        sim_a.run(steps)
+
+        sim_b = make_sim(n=n, a=1.5, kT_init=1.0, dt=0.001,
+                         integrator=htf.md.NVT(kT=1.0, tau=0.2))
+        lj = htf.md.LennardJones(epsilon=1.0, sigma=1.0, r_cut=r_cut)
+        sim_b.add_force(lj)
+        # engine needs a neighbor config: attach a no-force observer model
+        obs = zoo.TensorSaveModel(n - 1, output_forces=False)
+        tfc_b = htf.tfcompute(obs)
+        tfc_b.attach(sim_b, r_cut=r_cut)
+        sim_b.run(steps)
+
+        np.testing.assert_allclose(np.asarray(sim_a.state.positions),
+                                   np.asarray(sim_b.state.positions),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(sim_a.state.forces[:, :3]),
+                                   np.asarray(sim_b.state.forces[:, :3]),
+                                   atol=1e-4)
+
+    def test_lj_virial_matches_builtin(self):
+        n = 16
+        r_cut = 3.0
+        model = zoo.LJVirialModel(n - 1, virial=True)
+        sim = make_sim(n=n, a=1.5, kT_init=1.0, dt=0.001)
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=r_cut)
+        sim.run(3)
+        state = sim.state
+        nlist = sim._build_nlist(state)
+        lj = htf.md.LennardJones(epsilon=1.0, sigma=1.0, r_cut=r_cut)
+        f_b, v_b = lj(state, nlist)
+        np.testing.assert_allclose(np.asarray(state.virial),
+                                   np.asarray(v_b), atol=1e-4)
+
+
+class TestEnergyConservation:
+    """NVE total energy drift must be tiny (reference
+    test_lj_energy, test_tensorflow.py:532-557)."""
+
+    def test_nve_lj(self):
+        # sparse lattice like the reference's test_lj_energy: interactions
+        # stay well inside the cutoff so truncation jumps don't pollute the
+        # conservation signal
+        n = 27
+        model = zoo.LJModel(n - 1)
+        sim = make_sim(n=n, a=4.0, kT_init=0.8, dt=0.001)
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=5.0)
+        sim.run(1)  # populate forces/energy
+        energies = []
+        for _ in range(10):
+            sim.run(250)
+            t = sim.thermo()
+            energies.append(t["kinetic_energy"] + t["potential_energy"])
+        for a, b in zip(energies[2:], energies[3:]):
+            np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+class TestIntegrators:
+    def test_nvt_controls_temperature(self):
+        n = 27
+        kT = 0.8
+        model = zoo.LJModel(n - 1)
+        sim = make_sim(n=n, a=1.6, kT_init=kT, dt=0.002,
+                       integrator=htf.md.NVT(kT=kT, tau=0.5))
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=2.5)
+        temps = []
+        for _ in range(10):
+            sim.run(100)
+            temps.append(sim.thermo()["temperature"])
+        avg = np.mean(temps[3:])
+        assert abs(avg - kT) < 0.3 * kT, temps
+
+    def test_langevin_thermalizes(self):
+        n = 27
+        kT = 0.7
+        model = zoo.LJModel(n - 1)
+        sim = make_sim(n=n, a=1.6, kT_init=0.0, dt=0.002,
+                       integrator=htf.md.Langevin(kT=kT, gamma=1.0))
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=2.5)
+        temps = []
+        for _ in range(10):
+            sim.run(100)
+            temps.append(sim.thermo()["temperature"])
+        avg = np.mean(temps[5:])
+        assert abs(avg - kT) < 0.4 * kT, temps
+
+    def test_brownian_moves(self):
+        n = 8
+        model = zoo.LJModel(n - 1)
+        sim = make_sim(n=n, a=2.0, dt=0.001,
+                       integrator=htf.md.Brownian(kT=0.5, gamma=1.0))
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=2.5)
+        p0 = np.asarray(sim.state.positions)
+        sim.run(50)
+        assert np.abs(np.asarray(sim.state.positions) - p0).max() > 1e-4
+
+
+class TestPeriod:
+    def test_model_forces_stale_between_periods(self):
+        n = 9
+        model = zoo.SimplePotential(n - 1)
+        sim = make_sim(n=n, a=4.0, kT_init=2.0)
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=5.0, period=5)
+        sim.run(1)
+        f0 = tfc.get_forces_array()
+        sim.run(3)  # steps 1-3: no model eval; positions move, forces stale
+        f1 = tfc.get_forces_array()
+        np.testing.assert_allclose(f0, f1, atol=1e-6)
+        sim.run(2)  # crosses step 5 -> recompute
+        f2 = tfc.get_forces_array()
+        assert np.abs(f2 - f1).max() > 1e-7
+
+
+class TestNoNlistModel:
+    def test_positions_only_model(self):
+        n = 9
+
+        class PosForce(htf.SimModel):
+            def compute(self, nlist, positions, box):
+                energy = jnp.sum(positions[:, :3] ** 2, axis=1)
+                return htf.compute_positions_forces(positions, energy)
+
+        model = PosForce(0)
+        sim = make_sim(n=n, a=4.0)
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=0)
+        sim.run(2)
+        f = tfc.get_forces_array()
+        assert np.all(np.isfinite(f))
+
+
+class TestThermo:
+    def test_pressure_sign_repulsive(self):
+        """A compressed repulsive system must have positive pressure."""
+        n = 27
+        model = zoo.LJVirialModel(n - 1, virial=True)
+        sim = make_sim(n=n, a=1.05, kT_init=0.1, dt=0.0005)
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=1.12)  # WCA-like: repulsion only
+        sim.run(2)
+        assert sim.thermo()["pressure"] > 0
+
+    def test_kinetic_energy(self):
+        sim = make_sim(n=8, a=4.0, kT_init=1.0)
+        ke = sim.thermo()["kinetic_energy"]
+        v = np.asarray(sim.state.velocities)
+        np.testing.assert_allclose(ke, 0.5 * (v ** 2).sum(), rtol=1e-5)
