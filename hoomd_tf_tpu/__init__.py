@@ -34,7 +34,8 @@ from .ops import (box_size, wrap_vector, make_box, box_from_lengths,
                   safe_norm, nlist_rinv, masked_nlist, divide_no_nan,
                   multiply_no_nan, compute_nlist_forces,
                   compute_positions_forces, compute_nlist,
-                  nlist_from_positions, compute_rdf)
+                  nlist_from_positions, CellList, cell_list_nlist,
+                  compute_rdf)
 from .models import (Variable, Layer, Mean, MeanTensor, SimModel, MolSimModel,
                      RBFExpansion, WCARepulsion, EDSLayer, Dense)
 from . import ops
@@ -61,7 +62,8 @@ __all__ = [
     "box_size", "wrap_vector", "make_box", "box_from_lengths",
     "safe_norm", "nlist_rinv", "masked_nlist", "divide_no_nan",
     "multiply_no_nan", "compute_nlist_forces", "compute_positions_forces",
-    "compute_nlist", "nlist_from_positions", "compute_rdf",
+    "compute_nlist", "nlist_from_positions", "CellList", "cell_list_nlist",
+    "compute_rdf",
     "Variable", "Layer", "Mean", "MeanTensor", "SimModel", "MolSimModel",
     "RBFExpansion", "WCARepulsion", "EDSLayer", "Dense",
     "Simulation", "tfcompute",

@@ -48,9 +48,11 @@ class tfcompute:
 
         :param sim: the :class:`.Simulation` (replaces the implicit global
             hoomd context of the reference).
-        :param nlist: unused placeholder for signature parity (the engine
-            owns its neighbor list; configure via ``r_cut`` and the model's
-            ``nneighbor_cutoff``).
+        :param nlist: neighbor-list strategy: ``None``/``'auto'`` (cell list
+            for large boxes, dense otherwise), ``'n2'`` (dense O(N^2)),
+            ``'cell'`` or a :class:`..ops.cell_list.CellList` config. In the
+            reference this argument is the HOOMD nlist object; here the
+            engine owns the build.
         :param r_cut: neighbor cutoff radius.
         :param period: run the model every ``period`` MD steps.
         :param batch_size: particle-batch size for memory capping (not
@@ -63,6 +65,7 @@ class tfcompute:
         if sim is None or sim.state is None:
             raise RuntimeError("Must initialize the simulation first")
         self.sim = sim
+        self.nlist_method = nlist
         self.r_cut = float(r_cut)
         self.period = int(period)
         self.batch_size = 0 if batch_size is None else int(batch_size)
@@ -115,6 +118,8 @@ class tfcompute:
         return (self.r_cut, self.nneighbor_cutoff, self.period,
                 self.batch_size, self.train, self.save_output_period,
                 self.map_enabled, self.model._trace_version,
+                id(self.nlist_method) if self.nlist_method is not None
+                else None,
                 tuple(id(f) for f in self.reference_forces))
 
     # ------------------------------------------------------------------
@@ -250,6 +255,15 @@ class tfcompute:
         return np.asarray(self.sim._build_nlist(self.sim.state))
 
     def get_forces_array(self):
+        """In tf2hoomd mode: the net forces. In hoomd2tf (train/observe)
+        mode with reference forces selected: the staged label forces, like
+        the reference's forces buffer (``TensorflowCompute.cc:177-187``)."""
+        if self.train and self.reference_forces:
+            state = self.sim.state
+            nlist = self.sim._build_nlist(state)
+            f, _ = self.sim._builtin_forces(state, nlist,
+                                            subset=self.reference_forces)
+            return np.asarray(f)
         return np.asarray(self.sim.state.forces)
 
     def get_virial_array(self):

@@ -100,26 +100,56 @@ class Simulation:
     # ------------------------------------------------------------------
     # neighbor list
     # ------------------------------------------------------------------
-    def _nlist_config(self):
-        if self.tfc is None:
-            return None
-        return (self.tfc.r_cut, self.tfc.nneighbor_cutoff)
+    def _make_nlist_builder(self):
+        """Resolve the neighbor-list strategy into a ``build(state)``
+        closure. The cell list needs static grid geometry, planned here from
+        the concrete box (constant under NVE/NVT); small or mapped systems
+        use the dense O(N^2) build."""
+        from ..ops import cell_list as _cl
 
-    def _build_nlist(self, state):
-        """Padded ``[N, NN, 4]`` neighbor list with neighbor type in the
-        4th channel. Mapped (CG) beads and all-atom particles never
-        neighbor each other (reference rcut() matrix, ``tensorflowcompute.
-        py:284-305``)."""
         tfc = self.tfc
         r_cut, NN = tfc.r_cut, max(1, tfc.nneighbor_cutoff)
-        pos4 = state.positions4
-        exclusion = None
-        if tfc.map_enabled:
-            is_map = jnp.arange(state.n_particles) >= tfc.model._map_i
-            exclusion = is_map[:, None] != is_map[None, :]
-        return compute_nlist(pos4, r_cut, NN, box_size(state.box),
-                             sorted=True, return_types=True,
-                             exclusion_matrix=exclusion)
+        method = getattr(tfc, "nlist_method", None) or "auto"
+        lengths = np.asarray(box_size(self.state.box))
+        n = self.state.n_particles
+
+        config = method if isinstance(method, _cl.CellList) else \
+            _cl.CellList()
+        want_cell = isinstance(method, _cl.CellList) or method == "cell"
+        if method == "auto":
+            want_cell = (n >= 512 and not tfc.map_enabled and
+                         config.usable(lengths, r_cut))
+        if want_cell:
+            grid, capacity = _cl.plan(n, lengths, r_cut, config)
+            if grid is None:
+                raise ValueError(
+                    f"Box {lengths} too small for a cell list at "
+                    f"r_cut={r_cut}")
+
+            def build(state):
+                return _cl.cell_list_nlist(
+                    state.positions4, r_cut, NN, state.box,
+                    grid=grid, capacity=capacity)
+            build.plan = (grid, capacity)
+            return build
+
+        def build(state):
+            pos4 = state.positions4
+            exclusion = None
+            if tfc.map_enabled:
+                # AA and mapped CG beads never neighbor each other
+                # (reference rcut() matrix, tensorflowcompute.py:284-305)
+                is_map = jnp.arange(state.n_particles) >= tfc.model._map_i
+                exclusion = is_map[:, None] != is_map[None, :]
+            return compute_nlist(pos4, r_cut, NN, box_size(state.box),
+                                 sorted=True, return_types=True,
+                                 exclusion_matrix=exclusion)
+        build.plan = None
+        return build
+
+    def _build_nlist(self, state):
+        """One-off neighbor build on the current state (host accessors)."""
+        return self._make_nlist_builder()(state)
 
     # ------------------------------------------------------------------
     # the fused step
@@ -135,7 +165,7 @@ class Simulation:
             w = w + wi
         return f, w
 
-    def _make_step(self, n_extras, extras_shapes):
+    def _make_step(self, n_extras, extras_shapes, nlist_builder=None):
         """Build the scan body. Static configuration is closed over."""
         tfc = self.tfc
         model = tfc.model if tfc else None
@@ -215,7 +245,7 @@ class Simulation:
             if tfc is not None and tfc.map_enabled:
                 state = tfc.apply_mapping(state)
             if tfc is not None and tfc.nneighbor_cutoff > 0:
-                nlist = self._build_nlist(state)
+                nlist = nlist_builder(state)
             else:
                 nlist = jnp.zeros(
                     (state.n_particles, 1, 4), dtype=state.positions.dtype)
@@ -308,7 +338,9 @@ class Simulation:
                      tfc.config_key if tfc else None,
                      len(self.forces))
         if cache_key not in self._scan_cache:
-            step = self._make_step(n_extras, extras_shapes)
+            nlist_builder = (self._make_nlist_builder()
+                             if tfc and tfc.nneighbor_cutoff > 0 else None)
+            step = self._make_step(n_extras, extras_shapes, nlist_builder)
 
             @jax.jit
             def scan_n(carry):

@@ -3,6 +3,7 @@ from .numerics import (safe_norm, nlist_rinv, masked_nlist, divide_no_nan,
                        multiply_no_nan)
 from .forces import compute_nlist_forces, compute_positions_forces
 from .nlist import compute_nlist, nlist_from_positions
+from .cell_list import CellList, cell_list_nlist
 from .rdf import compute_rdf
 
 __all__ = [
@@ -11,5 +12,6 @@ __all__ = [
     "multiply_no_nan",
     "compute_nlist_forces", "compute_positions_forces",
     "compute_nlist", "nlist_from_positions",
+    "CellList", "cell_list_nlist",
     "compute_rdf",
 ]

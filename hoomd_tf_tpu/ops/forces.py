@@ -187,6 +187,19 @@ def _compute_virial(nlist, nlist_forces):
     return -0.25 * (outer + jnp.swapaxes(outer, -1, -2))
 
 
+def _sanitize(grad):
+    """Zero out non-finite gradient elements.
+
+    Padded (all-zero) neighbor rows produce NaN through ``norm``-at-zero
+    gradients in natural energy formulations (e.g. ``divide_no_nan(1,
+    norm(nlist)**6)``). TensorFlow's norm gradient is internally
+    div-no-nan-guarded so the reference silently gets zeros there; JAX's is
+    not, so the same guard lives here -- a padded row must contribute
+    exactly zero force.
+    """
+    return jnp.where(jnp.isfinite(grad), grad, jnp.zeros_like(grad))
+
+
 def _energy_grad(kind, value, energy):
     """Dispatch between callable-energy and value-energy (capture) forms.
 
@@ -196,7 +209,7 @@ def _energy_grad(kind, value, energy):
     if callable(energy):
         e_val, vjp_fn = jax.vjp(energy, value)
         grad = vjp_fn(jnp.ones_like(e_val))[0]
-        return e_val, grad, False
+        return e_val, _sanitize(grad), False
     ctx = _CAPTURE.get()
     if ctx is None:
         raise ValueError(
@@ -207,7 +220,7 @@ def _energy_grad(kind, value, energy):
         ctx.replay_energies.append(jnp.asarray(energy))
         return energy, None, True
     grad = ctx.grad_wrt_input(kind, value, energy)
-    return energy, grad, False
+    return energy, _sanitize(grad), False
 
 
 def compute_nlist_forces(nlist, energy, virial=False):

@@ -1,0 +1,96 @@
+"""Cell-list neighbor build cross-checked against the dense O(N^2) build
+(the reference's nlist cross-oracle pattern, test_utils.py:401-430)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import hoomd_tf_tpu as htf
+import zoo
+
+
+def random_system(n, L, seed=0, ntypes=2):
+    rng = np.random.RandomState(seed)
+    pos = (rng.rand(n, 3) * L - L / 2).astype(np.float32)
+    types = (rng.randint(0, ntypes, n)).astype(np.float32)
+    return np.concatenate([pos, types[:, None]], axis=1)
+
+
+def sets_from_nlist(nlist):
+    """Per-particle neighbor sets as (rounded displacement tuples)."""
+    out = []
+    for i in range(nlist.shape[0]):
+        s = set()
+        for k in range(nlist.shape[1]):
+            row = nlist[i, k]
+            if np.any(row[:3] != 0):
+                s.add(tuple(np.round(row, 4)))
+        out.append(s)
+    return out
+
+
+class TestCellListCrossCheck:
+    def test_matches_n2(self):
+        n, L, r_cut, NN = 400, 12.0, 3.0, 48
+        pos4 = jnp.asarray(random_system(n, L))
+        dense = np.asarray(htf.compute_nlist(
+            pos4, r_cut, NN, [L, L, L], sorted=True, return_types=True))
+        cell = np.asarray(htf.cell_list_nlist(
+            pos4, r_cut, NN, jnp.asarray([L, L, L])))
+        a = sets_from_nlist(dense)
+        b = sets_from_nlist(cell)
+        for i in range(n):
+            assert a[i] == b[i], f"particle {i}"
+
+    def test_sorted_ascending(self):
+        n, L, r_cut, NN = 200, 10.0, 3.0, 32
+        pos4 = jnp.asarray(random_system(n, L, seed=3))
+        cell = np.asarray(htf.cell_list_nlist(
+            pos4, r_cut, NN, jnp.asarray([L, L, L])))
+        for i in range(n):
+            rs = np.linalg.norm(cell[i, :, :3], axis=-1)
+            rs = rs[rs > 0]
+            assert np.all(np.diff(rs) >= -1e-6)
+
+    def test_overflow_flag(self):
+        n, L, r_cut, NN = 100, 9.0, 3.0, 32
+        pos4 = jnp.asarray(random_system(n, L, seed=4))
+        _, overflow = htf.cell_list_nlist(
+            pos4, r_cut, NN, jnp.asarray([L, L, L]),
+            config=htf.CellList(capacity=2), return_overflow=True)
+        assert bool(overflow)
+        _, overflow = htf.cell_list_nlist(
+            pos4, r_cut, NN, jnp.asarray([L, L, L]),
+            config=htf.CellList(capacity=128), return_overflow=True)
+        assert not bool(overflow)
+
+    def test_too_small_box_raises(self):
+        pos4 = jnp.asarray(random_system(27, 4.0))
+        import pytest
+        with pytest.raises(ValueError):
+            htf.cell_list_nlist(pos4, 3.0, 8, jnp.asarray([4.0, 4.0, 4.0]))
+
+
+class TestCellListInSimulation:
+    def test_forces_match_dense_path(self):
+        """Same simulation with nlist='cell' vs nlist='n2' must produce
+        identical forces."""
+        n = 600
+        r_cut = 3.0
+        NN = 48
+
+        def run(method):
+            model = zoo.LJModel(NN)
+            sim = htf.Simulation(dt=0.001,
+                                 integrator=htf.md.NVT(kT=1.0, tau=0.5),
+                                 seed=5)
+            sim.init_lattice(n, density=0.35, kT_init=1.0)
+            tfc = htf.tfcompute(model)
+            tfc.attach(sim, nlist=method, r_cut=r_cut)
+            sim.run(10)
+            return (np.asarray(sim.state.positions),
+                    np.asarray(sim.state.forces))
+
+        p_cell, f_cell = run("cell")
+        p_n2, f_n2 = run("n2")
+        np.testing.assert_allclose(p_cell, p_n2, atol=1e-5)
+        np.testing.assert_allclose(f_cell, f_n2, atol=1e-4)

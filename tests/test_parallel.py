@@ -1,0 +1,136 @@
+"""Multi-device sharding on the 8-device virtual CPU mesh: sharded neighbor
+build, particle-sharded force evaluation, sharded training step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import hoomd_tf_tpu as htf
+import zoo
+from hoomd_tf_tpu.models.module import get_state
+from hoomd_tf_tpu.parallel import (make_mesh, sharded_nlist,
+                                   sharded_force_fn, sharded_train_step)
+
+
+def random_pos4(n, L, seed=0):
+    rng = np.random.RandomState(seed)
+    pos = (rng.rand(n, 3) * L - L / 2).astype(np.float32)
+    return jnp.asarray(np.concatenate(
+        [pos, np.zeros((n, 1), np.float32)], axis=1))
+
+
+def lattice_pos4(n, a=1.3, seed=0, jitter=0.05):
+    """Well-separated positions so LJ labels stay O(1)."""
+    pos, lengths = htf.md.lattice_positions(n, a=a)
+    rng = np.random.RandomState(seed)
+    pos = pos + jitter * rng.randn(*pos.shape).astype(np.float32)
+    pos4 = np.concatenate([pos, np.zeros((n, 1), np.float32)], axis=1)
+    return jnp.asarray(pos4), lengths
+
+
+class TestShardedNlist:
+    def test_matches_single_device(self):
+        n, L, r_cut, NN = 64, 8.0, 3.0, 16
+        pos4 = random_pos4(n, L)
+        box = htf.box_from_lengths([L, L, L])
+        mesh = make_mesh(8)
+        sharded = np.asarray(sharded_nlist(pos4, r_cut, NN, box, mesh))
+        dense = np.asarray(htf.compute_nlist(
+            pos4, r_cut, NN, [L, L, L], sorted=True, return_types=True))
+        np.testing.assert_allclose(sharded, dense, atol=1e-5)
+
+
+class TestShardedForces:
+    def test_matches_single_device(self):
+        n, L, r_cut, NN = 64, 8.0, 3.0, 16
+        model = zoo.LJModel(NN)
+        pos4 = random_pos4(n, L)
+        box = htf.box_from_lengths([L, L, L])
+        mesh = make_mesh(8)
+        nlist = htf.compute_nlist(pos4, r_cut, NN, [L, L, L],
+                                  sorted=True, return_types=True)
+        model.ensure_built([nlist, pos4, box])
+        values = get_state(model)
+
+        fn = sharded_force_fn(model, r_cut, mesh)
+        forces_sharded, _ = jax.jit(fn)(values, pos4, box)
+        forces_single = model([nlist, pos4, box])[0]
+        np.testing.assert_allclose(np.asarray(forces_sharded),
+                                   np.asarray(forces_single),
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestShardedTraining:
+    def test_loss_decreases(self):
+        import optax
+        n, r_cut, NN = 64, 3.0, 16
+        model = zoo.TrainableGraph(NN)
+        model.lj.w.assign(jnp.asarray([0.7, 1.2]))
+        pos4, lengths = lattice_pos4(n, seed=2)
+        L = float(lengths[0])
+        box = htf.box_from_lengths(lengths)
+        mesh = make_mesh(8)
+        nlist = htf.compute_nlist(pos4, r_cut, NN, [L, L, L],
+                                  sorted=True, return_types=True)
+        model.ensure_built([nlist, pos4, box])
+        # labels from the true LJ
+        import hoomd_tf_tpu.md as md
+        sim = htf.Simulation()
+        sim.init_state(np.asarray(pos4), [L, L, L])
+        labels, _ = md.LennardJones(r_cut=r_cut)(sim.state, nlist)
+
+        values = get_state(model)
+        variables = model.variables
+        t_idx = [i for i, v in enumerate(variables) if v.trainable]
+        params = [values[i] for i in t_idx]
+        optimizer = optax.adam(5e-2)
+        opt_state = optimizer.init(params)
+        step = jax.jit(sharded_train_step(model, optimizer, r_cut, mesh))
+        losses = []
+        for _ in range(30):
+            loss, params, opt_state = step(params, values, opt_state,
+                                           pos4, box, labels)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+    def test_grads_match_single_device(self):
+        """psum'd sharded gradients == single-device gradients."""
+        import optax
+        n, L, r_cut, NN = 32, 8.0, 3.0, 8
+        model = zoo.TrainableGraph(NN)
+        pos4 = random_pos4(n, L, seed=3)
+        box = htf.box_from_lengths([L, L, L])
+        nlist = htf.compute_nlist(pos4, r_cut, NN, [L, L, L],
+                                  sorted=True, return_types=True)
+        model.ensure_built([nlist, pos4, box])
+        labels = jnp.zeros((n, 4))
+        values = get_state(model)
+        variables = model.variables
+        t_idx = [i for i, v in enumerate(variables) if v.trainable]
+        params = [values[i] for i in t_idx]
+
+        # single-device gradient
+        def loss_single(params):
+            vals = list(values)
+            for i, p in zip(t_idx, params):
+                vals[i] = p
+            from hoomd_tf_tpu.models.module import functional_call
+            (out,), _ = functional_call(model, vals,
+                                        lambda: model([nlist, pos4, box],
+                                                      training=True))
+            return jnp.mean((out[:, :3] - labels[:, :3]) ** 2)
+
+        g_single = jax.grad(loss_single)(params)
+
+        # sharded: one optimizer step with lr epsilon, recover grad via adam?
+        # simpler: use sgd(1.0) so params' delta == -grad
+        mesh = make_mesh(8)
+        optimizer = optax.sgd(1.0)
+        opt_state = optimizer.init(params)
+        step = jax.jit(sharded_train_step(model, optimizer, r_cut, mesh))
+        _, new_params, _ = step(params, values, opt_state, pos4, box,
+                                labels)
+        g_sharded = [p - np_ for p, np_ in zip(params, new_params)]
+        for gs, g1 in zip(g_sharded, g_single):
+            np.testing.assert_allclose(np.asarray(gs), np.asarray(g1),
+                                       rtol=1e-3, atol=1e-6)
