@@ -44,8 +44,8 @@ def main():
     tfc = htf.tfcompute(model)
     tfc.attach(sim, r_cut=r_cut)
 
-    # warmup + compile
-    sim.run(10)
+    # warmup + compile the exact scan that will be timed
+    sim.run(steps)
     jax.block_until_ready(sim.state.positions)
 
     t0 = time.perf_counter()

@@ -56,6 +56,7 @@ from .utils.graph import (compute_adj_mat, compute_cg_graph, find_cgnode_id,
 from .utils.mol_features import mol_bond_distance, mol_angle, mol_dihedral
 from .utils.trajectory import iter_from_trajectory, compute_pairwise, \
     create_frame
+from .utils.gsd_io import GSDFile, GSDUniverse, write_gsd_frames
 from .serialize import save_model, load_model, custom_objects
 
 __all__ = [
@@ -73,6 +74,7 @@ __all__ = [
     "compute_adj_mat", "compute_cg_graph", "find_cgnode_id",
     "mol_features_multiple", "mol_bond_distance", "mol_angle", "mol_dihedral",
     "iter_from_trajectory", "compute_pairwise", "create_frame",
+    "GSDFile", "GSDUniverse", "write_gsd_frames",
     "save_model", "load_model", "custom_objects",
     "md", "ops", "models", "parallel", "utils",
 ]

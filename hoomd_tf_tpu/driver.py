@@ -232,6 +232,10 @@ class tfcompute:
             return
         save_mask = eval_mask & (call_numbers % self.save_output_period == 0)
         captured = [np.asarray(e)[save_mask] for e in extras]
+        if self.batch_size:
+            # flatten the per-chunk axis into the capture axis, matching the
+            # reference's per-batch output appends
+            captured = [c.reshape((-1,) + c.shape[2:]) for c in captured]
         if not captured or captured[0].shape[0] == 0:
             return
         if self.outputs is None:

@@ -180,38 +180,73 @@ class Simulation:
                 inputs.append(labels)
             return inputs
 
+        batch_size = tfc.batch_size if tfc else 0
+
+        def _chunk_inputs(state, nlist):
+            """Split per-particle arrays into fixed batches (the reference's
+            attach(batch_size=k) particle batching,
+            ``TensorflowCompute.cc:141-212``). Zero-pads the last chunk."""
+            n = state.n_particles
+            k = batch_size
+            n_chunks = -(-n // k)
+            pad = n_chunks * k - n
+            pos4 = jnp.pad(state.positions4, ((0, pad), (0, 0)))
+            nl = jnp.pad(nlist, ((0, pad), (0, 0), (0, 0)))
+            return (pos4.reshape(n_chunks, k, 4),
+                    nl.reshape(n_chunks, k, nlist.shape[1], 4), pad)
+
         def eval_model(mv, state, nlist):
             """One model force evaluation (the reference's _finish_update,
-            tf2hoomd branch)."""
-            inputs = model_inputs(state, nlist)
-
-            def fn():
-                out = model(inputs, training=False)
-                return out
-            (out), new_mv = _functional(model, mv, fn)
+            tf2hoomd branch), optionally chunked over particle batches."""
             offset = tfc.output_offset
-            forces4 = jnp.zeros((state.n_particles, 4),
-                                dtype=state.positions.dtype)
-            virial = jnp.zeros((state.n_particles, 3, 3),
-                               dtype=state.positions.dtype)
-            if model.output_forces:
-                f = out[0]
-                if f.shape[-1] == 3:
-                    f = jnp.concatenate(
-                        [f, jnp.zeros_like(f[:, :1])], axis=-1)
-                forces4 = f
-                if model.virial and len(out) > 1:
-                    virial = out[1]
-            extras = tuple(out[offset:])
-            return forces4, virial, extras, new_mv
+            n = state.n_particles
+            dtype = state.positions.dtype
 
-        def train_model(mv, opt_state, state, nlist, labels):
-            """One online training step (the reference's hoomd2tf branch,
-            ``tensorflowcompute.py:346-370``)."""
+            def postprocess(out, rows):
+                forces4 = jnp.zeros((rows, 4), dtype=dtype)
+                virial = jnp.zeros((rows, 3, 3), dtype=dtype)
+                if model.output_forces:
+                    f = out[0]
+                    if f.shape[-1] == 3:
+                        f = jnp.concatenate(
+                            [f, jnp.zeros_like(f[:, :1])], axis=-1)
+                    forces4 = f
+                    if model.virial and len(out) > 1:
+                        virial = out[1]
+                return forces4, virial, tuple(out[offset:])
+
+            if not batch_size:
+                out, new_mv = _functional(
+                    model, mv,
+                    lambda: model(model_inputs(state, nlist),
+                                  training=False))
+                forces4, virial, extras = postprocess(out, n)
+                return forces4, virial, extras, new_mv
+
+            pos_c, nl_c, pad = _chunk_inputs(state, nlist)
+
+            def chunk_body(mv, xs):
+                pos_k, nl_k = xs
+                out, new_mv = _functional(
+                    model, mv,
+                    lambda: model([nl_k, pos_k, state.box],
+                                  training=False))
+                return new_mv, postprocess(out, batch_size)
+
+            new_mv, (f_c, w_c, extras_c) = jax.lax.scan(
+                chunk_body, mv, (pos_c, nl_c))
+            forces4 = f_c.reshape(-1, 4)[:n]
+            virial = w_c.reshape(-1, 3, 3)[:n]
+            # batched extras keep their leading chunk axis; the driver
+            # flattens it into the capture axis like the reference's
+            # per-batch output appends (tensorflowcompute.py:331-339)
+            return forces4, virial, extras_c, new_mv
+
+        def train_update(mv, opt_state, inputs, labels):
+            """One optimizer step on one (batch of) inputs."""
             import optax
             variables = model.variables
             trainable_idx = tfc.trainable_idx
-            inputs = model_inputs(state, nlist)
 
             def loss_fn(params, mv):
                 vals = list(mv)
@@ -236,6 +271,30 @@ class Simulation:
                 new_vals[i] = params[j]
             extras = tuple(out[tfc.output_offset:])
             return loss, extras, new_vals, opt_state
+
+        def train_model(mv, opt_state, state, nlist, labels):
+            """One online training step (the reference's hoomd2tf branch,
+            ``tensorflowcompute.py:346-370``), optionally per particle
+            batch."""
+            if not batch_size:
+                return train_update(mv, opt_state,
+                                    model_inputs(state, nlist), labels)
+            n = state.n_particles
+            k = batch_size
+            pos_c, nl_c, pad = _chunk_inputs(state, nlist)
+            lab = jnp.pad(labels, ((0, pad), (0, 0)))
+            lab_c = lab.reshape(-1, k, labels.shape[-1])
+
+            def chunk_body(carry, xs):
+                mv, opt_state = carry
+                pos_k, nl_k, lab_k = xs
+                loss, extras, mv, opt_state = train_update(
+                    mv, opt_state, [nl_k, pos_k, state.box], lab_k)
+                return (mv, opt_state), (loss, extras)
+
+            (mv, opt_state), (losses, extras_c) = jax.lax.scan(
+                chunk_body, (mv, opt_state), (pos_c, nl_c, lab_c))
+            return jnp.mean(losses), extras_c, mv, opt_state
 
         def step(carry, _):
             state, mv, opt_state, model_forces, model_virial = carry
@@ -317,6 +376,21 @@ class Simulation:
         if tfc is None:
             return 0, ()
         nlist = self._build_nlist(self.state)
+        if tfc.batch_size:
+            # batched: the model sees one particle chunk per call and the
+            # scan stacks extras with a leading chunk axis
+            n = self.state.n_particles
+            k = tfc.batch_size
+            n_chunks = -(-n // k)
+            pad = n_chunks * k - n
+            pos4 = jnp.pad(self.state.positions4, ((0, pad), (0, 0)))[:k]
+            nl = jnp.pad(nlist, ((0, pad), (0, 0), (0, 0)))[:k]
+            inputs = [nl, pos4, self.state.box]
+            tfc.model.ensure_built(inputs, training=tfc.train)
+            out = _eval_silent(tfc.model, inputs, tfc.train)
+            extras = out[tfc.output_offset:]
+            return len(extras), tuple((n_chunks,) + tuple(e.shape)
+                                      for e in extras)
         inputs = [nlist, self.state.positions4, self.state.box]
         tfc.model.ensure_built(inputs, training=tfc.train)
         out = _eval_silent(tfc.model, inputs, tfc.train)

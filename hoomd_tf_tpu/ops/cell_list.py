@@ -63,16 +63,35 @@ class CellList:
 
 @partial(jax.jit, static_argnames=("NN", "grid", "capacity", "r_cut"))
 def _cell_nlist_impl(pos4, r_cut, NN, grid, capacity, box_lengths):
+    """Cell-dense blocked build.
+
+    TPU design notes (this shape of the algorithm is ~100x faster than the
+    naive per-particle candidate gather on v5e):
+
+    - random *element* gathers are the enemy: TPUs stream contiguous tiles,
+      so the per-particle ``positions[candidate_indices]`` formulation
+      (11M+ scattered element loads at 64k particles) runs at memory-latency
+      speed. Here particle data is scattered once into dense per-cell
+      arrays ``[n_cells, capacity]`` and every later access is a *row*
+      gather of contiguous blocks (27 rows per cell), which the compiler
+      turns into block DMAs.
+    - all large intermediates are component-separated 2-D ``[rows, C]``
+      arrays: a trailing size-3/4 axis would be padded to 128 by the
+      (8, 128) tile and blow up HBM 32-42x.
+    - work is organized per *cell block* (every particle of a cell shares
+      the same 27-cell candidate set), so the distance math is dense
+      ``[n_cells, capacity, 27*capacity]`` elementwise VPU work.
+    """
     n = pos4.shape[0]
     nx, ny, nz = grid
     n_cells = nx * ny * nz
     dtype = pos4.dtype
     lengths = box_lengths.astype(dtype)
     pos3 = pos4[:, :3]
+    cap = capacity
+    c27 = 27 * cap
 
     # --- bin ---------------------------------------------------------------
-    # positions may be anywhere; fold into [0, L) relative to nothing in
-    # particular (cells only need consistency, and the 27-stencil wraps)
     frac = pos3 / lengths
     frac = frac - jnp.floor(frac)
     dims = jnp.asarray(grid, dtype=jnp.int32)
@@ -81,57 +100,83 @@ def _cell_nlist_impl(pos4, r_cut, NN, grid, capacity, box_lengths):
     cell_id = (cell_xyz[:, 0] +
                nx * (cell_xyz[:, 1] + ny * cell_xyz[:, 2]))
 
-    # --- sort & slot table ---------------------------------------------------
+    # --- rank within cell (sort once) ---------------------------------------
     order = jnp.argsort(cell_id)
     sorted_cells = cell_id[order]
-    # rank of each sorted particle within its cell
     starts = jnp.searchsorted(sorted_cells, jnp.arange(n_cells),
                               side="left")
-    rank = jnp.arange(n) - starts[sorted_cells]
-    overflow = jnp.any(rank >= capacity)
-    rank_c = jnp.minimum(rank, capacity - 1)
-    # slot table of particle indices, n = empty sentinel
-    table = jnp.full((n_cells * capacity,), n, dtype=jnp.int32)
-    table = table.at[sorted_cells * capacity + rank_c].set(
-        order.astype(jnp.int32), mode="drop")
-    table = table.reshape(n_cells, capacity)
+    rank_sorted = jnp.arange(n) - starts[sorted_cells]
+    overflow = jnp.any(rank_sorted >= cap)
+    rank_c = jnp.minimum(rank_sorted, cap - 1)
+    slot_of_sorted = sorted_cells * cap + rank_c
 
-    # --- 27-cell candidate gather -------------------------------------------
+    # --- dense per-cell arrays (one scatter each; empty slots far away) -----
+    far = jnp.asarray(1e30, dtype=dtype)
+
+    def to_cells(values, fill):
+        flat = jnp.full((n_cells * cap,), fill, dtype=values.dtype)
+        flat = flat.at[slot_of_sorted].set(values[order], mode="drop")
+        return flat.reshape(n_cells, cap)
+
+    cx = to_cells(pos3[:, 0], far)
+    cy = to_cells(pos3[:, 1], far)
+    cz = to_cells(pos3[:, 2], far)
+    ct = to_cells(pos4[:, 3], jnp.asarray(0, dtype=dtype))
+    cidx = to_cells(jnp.arange(n, dtype=jnp.int32), jnp.asarray(n, jnp.int32))
+
+    # --- 27-cell stencil: row gathers of contiguous cell blocks -------------
+    cz_, cy_, cx_ = jnp.meshgrid(jnp.arange(nz), jnp.arange(ny),
+                                 jnp.arange(nx), indexing="ij")
+    base_xyz = jnp.stack([cx_.ravel(), cy_.ravel(), cz_.ravel()],
+                         axis=-1).astype(jnp.int32)        # [n_cells, 3]
     offs = jnp.asarray(
-        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-         for dz in (-1, 0, 1)], dtype=jnp.int32)           # [27, 3]
-    neigh_xyz = (cell_xyz[:, None, :] + offs[None, :, :]) % dims  # [N,27,3]
+        [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1)
+         for c in (-1, 0, 1)], dtype=jnp.int32)            # [27, 3]
+    neigh_xyz = (base_xyz[:, None, :] + offs[None, :, :]) % dims
     neigh_id = (neigh_xyz[..., 0] +
                 nx * (neigh_xyz[..., 1] + ny * neigh_xyz[..., 2]))
-    cand = table[neigh_id].reshape(n, 27 * capacity)       # [N, 27*cap]
 
-    # --- distance filter + top-NN --------------------------------------------
-    # TPU layout note: everything below works on [N, C] per-component
-    # arrays. A single [N, C, 3] intermediate would be tiled (8, 128) on its
-    # trailing dims, padding 3 -> 128 (a 42x HBM blowup that OOMs at 64k
-    # particles); component-separated arrays tile perfectly.
-    sentinel = jnp.asarray(1e30, dtype=dtype)
+    def stencil(arr):                                       # [n_cells, cap]
+        return arr[neigh_id].reshape(n_cells, c27)          # row gathers
 
-    def component(k):
-        ext = jnp.concatenate([pos3[:, k], sentinel[None]], axis=0)
-        d = ext[cand] - pos3[:, k][:, None]
-        return d - jnp.round(d / lengths[k]) * lengths[k]
+    gx, gy, gz = stencil(cx), stencil(cy), stencil(cz)
+    gt, gi = stencil(ct), stencil(cidx)
 
-    dx, dy, dz = component(0), component(1), component(2)
-    dist2 = dx * dx + dy * dy + dz * dz
-    valid = (dist2 <= r_cut * r_cut) & (dist2 >= 25e-8) & (cand < n)
-    dist_masked = jnp.where(valid, dist2, jnp.full_like(dist2, 1e20))
-    _, top_idx = jax.lax.top_k(-dist_masked, NN)            # nearest NN
-    nl_valid = jnp.take_along_axis(valid, top_idx, axis=1)
-    nl_index = jnp.take_along_axis(cand, top_idx, axis=1)
+    # --- dense per-cell-block distances --------------------------------------
+    def min_image(d, L):
+        return d - jnp.round(d / L) * L
+
+    # [n_cells, cap, c27] per component; query slots broadcast against the
+    # shared candidate row of their cell
+    ddx = min_image(gx[:, None, :] - cx[:, :, None], lengths[0])
+    ddy = min_image(gy[:, None, :] - cy[:, :, None], lengths[1])
+    ddz = min_image(gz[:, None, :] - cz[:, :, None], lengths[2])
+    d2 = ddx * ddx + ddy * ddy + ddz * ddz
+    valid = ((d2 <= r_cut * r_cut) & (d2 >= 25e-8) &
+             (gi[:, None, :] < n) & (cidx[:, :, None] < n))
+
+    rows = n_cells * cap
+    d2 = jnp.where(valid, d2, jnp.full_like(d2, 1e20)).reshape(rows, c27)
+    _, top_idx = jax.lax.top_k(-d2, NN)                     # nearest NN
+    valid_r = valid.reshape(rows, c27)
+    nl_valid = jnp.take_along_axis(valid_r, top_idx, axis=1)
     mask = nl_valid.astype(dtype)
-    nl_dx = jnp.take_along_axis(dx, top_idx, axis=1) * mask
-    nl_dy = jnp.take_along_axis(dy, top_idx, axis=1) * mask
-    nl_dz = jnp.take_along_axis(dz, top_idx, axis=1) * mask
-    types_ext = jnp.concatenate(
-        [pos4[:, 3], jnp.zeros((1,), dtype=dtype)], axis=0)
-    nl_type = types_ext[nl_index] * mask
-    nlist = jnp.stack([nl_dx, nl_dy, nl_dz, nl_type], axis=-1)
+
+    def select(a):
+        return jnp.take_along_axis(a.reshape(rows, c27), top_idx, axis=1)
+
+    nl_dx = select(ddx) * mask
+    nl_dy = select(ddy) * mask
+    nl_dz = select(ddz) * mask
+    nl_ty = select(jnp.broadcast_to(gt[:, None, :],
+                                    (n_cells, cap, c27))) * mask
+
+    # --- back to original particle order (contiguous row gathers) -----------
+    slot_of_particle = jnp.zeros((n,), jnp.int32).at[order].set(
+        slot_of_sorted.astype(jnp.int32))
+    nlist = jnp.stack(
+        [nl_dx[slot_of_particle], nl_dy[slot_of_particle],
+         nl_dz[slot_of_particle], nl_ty[slot_of_particle]], axis=-1)
     return nlist, overflow
 
 

@@ -6,6 +6,7 @@ from .graph import (compute_adj_mat, compute_cg_graph, find_cgnode_id,
                     mol_features_multiple)
 from .mol_features import mol_bond_distance, mol_angle, mol_dihedral
 from .trajectory import iter_from_trajectory, compute_pairwise, create_frame
+from .gsd_io import GSDFile, GSDUniverse, write_gsd_frames
 
 __all__ = [
     "find_molecules", "find_molecules_from_topology", "matrix_mapping",
@@ -14,5 +15,5 @@ __all__ = [
     "compute_adj_mat", "compute_cg_graph", "find_cgnode_id",
     "mol_features_multiple", "mol_bond_distance", "mol_angle",
     "mol_dihedral", "iter_from_trajectory", "compute_pairwise",
-    "create_frame",
+    "create_frame", "GSDFile", "GSDUniverse", "write_gsd_frames",
 ]

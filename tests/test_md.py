@@ -77,6 +77,24 @@ class TestForceOverwrite:
             np.testing.assert_allclose(got, expected, atol=1e-4)
             sim.run(10)
 
+    def test_simple_potential_forces_batched(self):
+        """Port of test_force_overwrite_batched: particle batching gives
+        identical forces (batch 4 does not divide N=9 -> padded chunk)."""
+        n = 9
+        r_cut = 5.0
+        model = zoo.SimplePotential(n - 1)
+        sim = make_sim(n=n, a=4.0, kT_init=2.0)
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=r_cut, batch_size=4)
+        sim.run(2)
+        for _ in range(2):
+            pos = np.asarray(sim.state.positions)
+            box_l = np.asarray(htf.box_size(sim.state.box))
+            expected = numpy_simple_forces(pos, box_l, r_cut)
+            got = tfc.get_forces_array()[:, :3]
+            np.testing.assert_allclose(got, expected, atol=1e-4)
+            sim.run(10)
+
     def test_lj_model_forces(self):
         n = 9
         r_cut = 5.0
