@@ -32,15 +32,23 @@ class LJ(htf.SimModel):
 
 def main():
     on_tpu = jax.devices()[0].platform == "tpu"
-    n = int(os.environ.get("HTF_BENCH_N", 4096 if not on_tpu else 4096))
+    n = int(os.environ.get("HTF_BENCH_N", 65536 if on_tpu else 512))
     nn = int(os.environ.get("HTF_BENCH_NN", 64))
-    steps = int(os.environ.get("HTF_BENCH_STEPS", 1000))
+    steps = int(os.environ.get("HTF_BENCH_STEPS", 100 if on_tpu else 50))
     r_cut = 3.0
 
     model = LJ(nn)
     sim = htf.Simulation(dt=0.005, integrator=htf.md.NVT(kT=1.2, tau=0.5),
                          seed=0)
     sim.init_lattice(n, density=0.4, kT_init=1.2)
+    # jitter so cell-capacity planning sees fluid-like (not lattice-aligned)
+    # occupancy
+    import dataclasses
+    import numpy as np
+    rng = np.random.RandomState(0)
+    sim.state = dataclasses.replace(
+        sim.state, positions=sim.state.positions +
+        0.05 * jnp.asarray(rng.randn(n, 3).astype(np.float32)))
     tfc = htf.tfcompute(model)
     tfc.attach(sim, r_cut=r_cut)
 

@@ -220,7 +220,12 @@ class tfcompute:
     def collect_outputs(self, start_step, n, ys):
         """Host-side bookkeeping after a run: saved outputs & loss history
         (reference parity: ``tensorflowcompute.py:313-370``)."""
-        losses, extras = ys
+        losses, extras, cell_overflow = ys
+        if bool(np.any(np.asarray(cell_overflow))):
+            raise ValueError(
+                "Cell-list capacity exceeded during the run (a cell held "
+                "more particles than planned). Increase CellList(capacity=) "
+                "or attach with nlist='n2'.")
         steps = np.arange(start_step, start_step + n)
         eval_mask = steps % self.period == 0
         if self.train:

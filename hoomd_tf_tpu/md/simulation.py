@@ -125,11 +125,18 @@ class Simulation:
                 raise ValueError(
                     f"Box {lengths} too small for a cell list at "
                     f"r_cut={r_cut}")
+            if config.capacity is None:
+                # statistical headroom can still lose to structured initial
+                # conditions (an aligned lattice packs ceil(edge/a)^3 into
+                # one cell); size from the *measured* occupancy too
+                occ = _cl.max_occupancy(
+                    np.asarray(self.state.positions), lengths, grid)
+                capacity = max(capacity, int(np.ceil(occ * 1.3)) + 1)
 
             def build(state):
                 return _cl.cell_list_nlist(
                     state.positions4, r_cut, NN, state.box,
-                    grid=grid, capacity=capacity)
+                    grid=grid, capacity=capacity, return_overflow=True)
             build.plan = (grid, capacity)
             return build
 
@@ -141,15 +148,16 @@ class Simulation:
                 # (reference rcut() matrix, tensorflowcompute.py:284-305)
                 is_map = jnp.arange(state.n_particles) >= tfc.model._map_i
                 exclusion = is_map[:, None] != is_map[None, :]
-            return compute_nlist(pos4, r_cut, NN, box_size(state.box),
-                                 sorted=True, return_types=True,
-                                 exclusion_matrix=exclusion)
+            nl = compute_nlist(pos4, r_cut, NN, box_size(state.box),
+                               sorted=True, return_types=True,
+                               exclusion_matrix=exclusion)
+            return nl, jnp.asarray(False)
         build.plan = None
         return build
 
     def _build_nlist(self, state):
         """One-off neighbor build on the current state (host accessors)."""
-        return self._make_nlist_builder()(state)
+        return self._make_nlist_builder()(state)[0]
 
     # ------------------------------------------------------------------
     # the fused step
@@ -175,6 +183,15 @@ class Simulation:
         train = tfc.train if tfc else False
 
         def model_inputs(state, nlist, with_labels=False, labels=None):
+            # optimization_barrier: without it XLA occasionally fuses the
+            # neighbor build into the model's vjp and rematerializes the
+            # whole build inside the backward pass (observed as a ~100x
+            # step-time blowup for NVT + cell-list + autodiff forces on
+            # v5e). The barrier pins the built nlist as a materialized
+            # value. stop_gradient reflects the physics: neighbor
+            # *membership* is piecewise constant.
+            nlist = jax.lax.optimization_barrier(
+                jax.lax.stop_gradient(nlist))
             inputs = [nlist, state.positions4, state.box]
             if with_labels:
                 inputs.append(labels)
@@ -304,10 +321,11 @@ class Simulation:
             if tfc is not None and tfc.map_enabled:
                 state = tfc.apply_mapping(state)
             if tfc is not None and tfc.nneighbor_cutoff > 0:
-                nlist = nlist_builder(state)
+                nlist, cell_overflow = nlist_builder(state)
             else:
                 nlist = jnp.zeros(
                     (state.n_particles, 1, 4), dtype=state.positions.dtype)
+                cell_overflow = jnp.asarray(False)
 
             loss = jnp.asarray(0.0, dtype=state.positions.dtype)
             extras = tuple(
@@ -363,7 +381,8 @@ class Simulation:
             state = dataclasses.replace(state, forces=net_f, virial=net_w)
             state = integ.post_force(state, dt)
             state = dataclasses.replace(state, step=state.step + 1)
-            ys = (loss, extras) if (train or n_extras) else (loss, ())
+            ys = ((loss, extras, cell_overflow) if (train or n_extras)
+                  else (loss, (), cell_overflow))
             return (state, mv, opt_state, model_forces, model_virial), ys
 
         return step
