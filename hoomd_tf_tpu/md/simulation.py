@@ -115,7 +115,9 @@ class Simulation:
 
         config = method if isinstance(method, _cl.CellList) else \
             _cl.CellList()
-        want_cell = isinstance(method, _cl.CellList) or method == "cell"
+        want_cell = isinstance(method, _cl.CellList) or \
+            method in ("cell", "pallas")
+        sel_method = "pallas" if method == "pallas" else "sort"
         if method == "auto":
             want_cell = (n >= 512 and not tfc.map_enabled and
                          config.usable(lengths, r_cut))
@@ -133,10 +135,13 @@ class Simulation:
                     np.asarray(self.state.positions), lengths, grid)
                 capacity = max(capacity, int(np.ceil(occ * 1.3)) + 1)
 
+            static_lengths = tuple(float(v) for v in lengths)
+
             def build(state):
                 return _cl.cell_list_nlist(
                     state.positions4, r_cut, NN, state.box,
-                    grid=grid, capacity=capacity, return_overflow=True)
+                    grid=grid, capacity=capacity, return_overflow=True,
+                    method=sel_method, static_lengths=static_lengths)
             build.plan = (grid, capacity)
             return build
 

@@ -66,8 +66,56 @@ class CellList:
         return max(4, int(math.ceil(per_cell * 2.0)) + 4)
 
 
-@partial(jax.jit, static_argnames=("NN", "grid", "capacity", "r_cut"))
-def _cell_nlist_impl(pos4, r_cut, NN, grid, capacity, box_lengths):
+def _build_planes(pos4, grid, capacity, lengths):
+    """Shared prologue: bin particles and scatter them into dense per-cell
+    coordinate/type planes ``[n_cells, cap]`` (empty slots hold a far
+    sentinel). Returns the planes, each particle's flat slot, and the
+    overflow flag."""
+    n = pos4.shape[0]
+    nx, ny, nz = grid
+    n_cells = nx * ny * nz
+    dtype = pos4.dtype
+    cap = capacity
+    pos3 = pos4[:, :3]
+
+    frac = pos3 / lengths
+    frac = frac - jnp.floor(frac)
+    dims = jnp.asarray(grid, dtype=jnp.int32)
+    cell_xyz = jnp.minimum((frac * dims.astype(dtype)).astype(jnp.int32),
+                           dims - 1)
+    # plane layout is [z, y, x] (slab-major for the Pallas kernel)
+    cell_id = (cell_xyz[:, 0] +
+               nx * (cell_xyz[:, 1] + ny * cell_xyz[:, 2]))
+
+    order = jnp.argsort(cell_id)
+    sorted_cells = cell_id[order]
+    starts = jnp.searchsorted(sorted_cells, jnp.arange(n_cells),
+                              side="left")
+    rank_sorted = jnp.arange(n) - starts[sorted_cells]
+    overflow = jnp.any(rank_sorted >= cap)
+    rank_c = jnp.minimum(rank_sorted, cap - 1)
+    slot_of_sorted = sorted_cells * cap + rank_c
+
+    far = jnp.asarray(1e30, dtype=dtype)
+
+    def to_cells(values, fill):
+        flat = jnp.full((n_cells * cap,), fill, dtype=values.dtype)
+        flat = flat.at[slot_of_sorted].set(values[order], mode="drop")
+        return flat.reshape(n_cells, cap)
+
+    cx = to_cells(pos3[:, 0], far)
+    cy = to_cells(pos3[:, 1], far)
+    cz = to_cells(pos3[:, 2], far)
+    ct = to_cells(pos4[:, 3], jnp.asarray(0, dtype=dtype))
+    slot_of_particle = jnp.zeros((n,), jnp.int32).at[order].set(
+        slot_of_sorted.astype(jnp.int32))
+    return cx, cy, cz, ct, slot_of_particle, overflow
+
+
+@partial(jax.jit, static_argnames=("NN", "grid", "capacity", "r_cut",
+                                   "method", "static_lengths"))
+def _cell_nlist_impl(pos4, r_cut, NN, grid, capacity, box_lengths,
+                     method="sort", static_lengths=None):
     """Cell-dense blocked build.
 
     TPU design notes (this shape of the algorithm is ~100x faster than the
@@ -87,53 +135,22 @@ def _cell_nlist_impl(pos4, r_cut, NN, grid, capacity, box_lengths):
       the same 27-cell candidate set), so the distance math is dense
       ``[n_cells, capacity, 27*capacity]`` elementwise VPU work.
     """
-    n = pos4.shape[0]
     nx, ny, nz = grid
     n_cells = nx * ny * nz
     dtype = pos4.dtype
     lengths = box_lengths.astype(dtype)
-    pos3 = pos4[:, :3]
     cap = capacity
     c27 = 27 * cap
 
-    # --- bin ---------------------------------------------------------------
-    frac = pos3 / lengths
-    frac = frac - jnp.floor(frac)
-    dims = jnp.asarray(grid, dtype=jnp.int32)
-    cell_xyz = jnp.minimum((frac * dims.astype(dtype)).astype(jnp.int32),
-                           dims - 1)
-    cell_id = (cell_xyz[:, 0] +
-               nx * (cell_xyz[:, 1] + ny * cell_xyz[:, 2]))
-
-    # --- rank within cell (sort once) ---------------------------------------
-    order = jnp.argsort(cell_id)
-    sorted_cells = cell_id[order]
-    starts = jnp.searchsorted(sorted_cells, jnp.arange(n_cells),
-                              side="left")
-    rank_sorted = jnp.arange(n) - starts[sorted_cells]
-    overflow = jnp.any(rank_sorted >= cap)
-    rank_c = jnp.minimum(rank_sorted, cap - 1)
-    slot_of_sorted = sorted_cells * cap + rank_c
-
-    # --- dense per-cell arrays (one scatter each; empty slots far away) -----
-    far = jnp.asarray(1e30, dtype=dtype)
-
-    def to_cells(values, fill):
-        flat = jnp.full((n_cells * cap,), fill, dtype=values.dtype)
-        flat = flat.at[slot_of_sorted].set(values[order], mode="drop")
-        return flat.reshape(n_cells, cap)
-
-    cx = to_cells(pos3[:, 0], far)
-    cy = to_cells(pos3[:, 1], far)
-    cz = to_cells(pos3[:, 2], far)
-    ct = to_cells(pos4[:, 3], jnp.asarray(0, dtype=dtype))
-    cidx = to_cells(jnp.arange(n, dtype=jnp.int32), jnp.asarray(n, jnp.int32))
+    cx, cy, cz, ct, slot_of_particle, overflow = _build_planes(
+        pos4, grid, cap, lengths)
 
     # --- 27-cell stencil: row gathers of contiguous cell blocks -------------
     cz_, cy_, cx_ = jnp.meshgrid(jnp.arange(nz), jnp.arange(ny),
                                  jnp.arange(nx), indexing="ij")
     base_xyz = jnp.stack([cx_.ravel(), cy_.ravel(), cz_.ravel()],
                          axis=-1).astype(jnp.int32)        # [n_cells, 3]
+    dims = jnp.asarray(grid, dtype=jnp.int32)
     offs = jnp.asarray(
         [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1)
          for c in (-1, 0, 1)], dtype=jnp.int32)            # [27, 3]
@@ -145,22 +162,46 @@ def _cell_nlist_impl(pos4, r_cut, NN, grid, capacity, box_lengths):
         return arr[neigh_id].reshape(n_cells, c27)          # row gathers
 
     gx, gy, gz = stencil(cx), stencil(cy), stencil(cz)
-    gt, gi = stencil(ct), stencil(cidx)
+    gt = stencil(ct)
+
+    if method == "pallas":
+        from .nlist_pallas import pallas_cell_select, _BLOCK
+        # lane-align the candidate width and block-align the cell count;
+        # padding holds the far sentinel so it is distance-invalid
+        cpad = -(-c27 // 128) * 128
+        blocks = -(-n_cells // _BLOCK) * _BLOCK
+        far = jnp.asarray(1e30, dtype=dtype)
+
+        def pad_cand(a, fill):
+            return jnp.pad(a, ((0, blocks - n_cells), (0, cpad - c27)),
+                           constant_values=fill)
+
+        def pad_q(a, fill):
+            return jnp.pad(a, ((0, blocks - n_cells), (0, 0)),
+                           constant_values=fill)
+
+        nl_dx, nl_dy, nl_dz, nl_ty = pallas_cell_select(
+            pad_cand(gx, far), pad_cand(gy, far), pad_cand(gz, far),
+            pad_cand(gt, 0.0),
+            pad_q(cx, far), pad_q(cy, far), pad_q(cz, far),
+            capacity=cap, NN=NN, r_cut=r_cut, lengths=static_lengths)
+        nlist = jnp.stack(
+            [nl_dx[slot_of_particle], nl_dy[slot_of_particle],
+             nl_dz[slot_of_particle], nl_ty[slot_of_particle]], axis=-1)
+        return nlist, overflow
 
     # --- dense per-cell-block distances --------------------------------------
     def min_image(d, L):
         return d - jnp.round(d / L) * L
 
     # [n_cells, cap, c27]; query slots broadcast against the shared
-    # candidate row of their cell. Only d2 (and the packed sort key) are
-    # materialized -- displacements are recomputed for the selected NN
-    # afterwards, saving 3x the HBM traffic of this build's largest array.
+    # candidate row of their cell. Empty slots sit at a far sentinel
+    # coordinate, so the r_cut test handles them with no index plane.
     ddx = min_image(gx[:, None, :] - cx[:, :, None], lengths[0])
     ddy = min_image(gy[:, None, :] - cy[:, :, None], lengths[1])
     ddz = min_image(gz[:, None, :] - cz[:, :, None], lengths[2])
     d2 = ddx * ddx + ddy * ddy + ddz * ddz
-    valid = ((d2 <= r_cut * r_cut) & (d2 >= 25e-8) &
-             (gi[:, None, :] < n) & (cidx[:, :, None] < n))
+    valid = (d2 <= r_cut * r_cut) & (d2 >= 25e-8)
 
     # --- nearest-NN selection via a payload sort ------------------------------
     # XLA's top_k lowers to a full sort per row anyway, and dynamic-index
@@ -187,8 +228,6 @@ def _cell_nlist_impl(pos4, r_cut, NN, grid, capacity, box_lengths):
     nl_ty = ty_s[:, :NN] * mask
 
     # --- back to original particle order (contiguous row gathers) -----------
-    slot_of_particle = jnp.zeros((n,), jnp.int32).at[order].set(
-        slot_of_sorted.astype(jnp.int32))
     nlist = jnp.stack(
         [nl_dx[slot_of_particle], nl_dy[slot_of_particle],
          nl_dz[slot_of_particle], nl_ty[slot_of_particle]], axis=-1)
@@ -223,9 +262,11 @@ def plan(n, box_lengths, r_cut, config=None):
 
 
 def cell_list_nlist(pos4, r_cut, NN, box, config=None, return_overflow=False,
-                    grid=None, capacity=None):
+                    grid=None, capacity=None, method="sort",
+                    static_lengths=None):
     """Padded ``[N, NN, 4]`` neighbor list (displacement + neighbor type)
-    via a fixed-capacity cell list. Nearest-NN sorted ascending.
+    via a fixed-capacity cell list. Nearest-NN sorted ascending
+    (approximately: slot-index tie-breaking perturbs the low mantissa bits).
 
     :param pos4: ``[N, 4]`` positions with type in the last column.
     :param r_cut: cutoff radius.
@@ -237,6 +278,9 @@ def cell_list_nlist(pos4, r_cut, NN, box, config=None, return_overflow=False,
     :param grid, capacity: static plan from :func:`plan`; required when
         calling under a trace (the box must then be constant), otherwise
         derived from the concrete box.
+    :param method: ``'sort'`` (XLA payload sort) or ``'pallas'`` (fused
+        VMEM kernel, see :mod:`.nlist_pallas`; needs ``static_lengths``).
+    :param static_lengths: concrete ``(Lx, Ly, Lz)`` for the Pallas kernel.
     """
     box = jnp.asarray(box)
     lengths = _box_size(box) if box.ndim == 2 else box
@@ -247,8 +291,12 @@ def cell_list_nlist(pos4, r_cut, NN, box, config=None, return_overflow=False,
             raise ValueError(
                 f"Box {np_lengths} too small for a cell list at "
                 f"r_cut={r_cut}; use compute_nlist (O(N^2)) instead")
+    if method == "pallas" and static_lengths is None:
+        static_lengths = tuple(
+            float(v) for v in np.asarray(jax.lax.stop_gradient(lengths)))
     nlist, overflow = _cell_nlist_impl(
-        pos4, float(r_cut), int(NN), tuple(grid), int(capacity), lengths)
+        pos4, float(r_cut), int(NN), tuple(grid), int(capacity), lengths,
+        method=method, static_lengths=static_lengths)
     if return_overflow:
         return nlist, overflow
     return nlist

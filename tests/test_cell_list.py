@@ -66,6 +66,23 @@ class TestCellListCrossCheck:
             config=htf.CellList(capacity=128), return_overflow=True)
         assert not bool(overflow)
 
+    def test_pallas_matches_n2(self):
+        """The fused Pallas kernel (interpreted on CPU) finds exactly the
+        same neighbor sets as the dense O(N^2) oracle."""
+        from hoomd_tf_tpu.ops import cell_list as cl
+        n, L, r_cut, NN = 300, 12.0, 3.0, 48
+        pos4 = jnp.asarray(random_system(n, L, seed=7))
+        grid, cap = cl.plan(n, [L, L, L], r_cut)
+        dense = np.asarray(htf.compute_nlist(
+            pos4, r_cut, NN, [L, L, L], sorted=True, return_types=True))
+        pal = np.asarray(cl.cell_list_nlist(
+            pos4, r_cut, NN, jnp.asarray([L, L, L]), grid=grid,
+            capacity=cap, method="pallas", static_lengths=(L, L, L)))
+        a = sets_from_nlist(dense)
+        b = sets_from_nlist(pal)
+        for i in range(n):
+            assert a[i] == b[i], f"particle {i}"
+
     def test_too_small_box_raises(self):
         pos4 = jnp.asarray(random_system(27, 4.0))
         import pytest
