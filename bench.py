@@ -62,12 +62,18 @@ def main():
     dt = time.perf_counter() - t0
 
     steps_per_s = steps / dt
-    baseline = 451.0  # reference steps/s (N=256, NN=64, CPU; BASELINE.md)
+    # reference baseline: 451 steps/s at N=256, NN=64 (committed
+    # pytest-benchmark result, BASELINE.md) = 115,456 particle-steps/s.
+    # vs_baseline compares particle-step throughput so different system
+    # sizes are comparable.
+    baseline_pps = 451.0 * 256.0
     print(json.dumps({
-        "metric": f"LJ MD steps/s (N={n}, NN={nn}, fused jit step)",
+        "metric": (f"LJ MD steps/s (N={n}, NN={nn}, fused jit step; "
+                   f"vs_baseline = particle-step throughput ratio vs "
+                   f"reference 451 steps/s @ N=256)"),
         "value": round(steps_per_s, 2),
         "unit": "steps/s",
-        "vs_baseline": round(steps_per_s / baseline, 3),
+        "vs_baseline": round(steps_per_s * n / baseline_pps, 3),
     }))
 
 
