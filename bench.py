@@ -34,7 +34,7 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     n = int(os.environ.get("HTF_BENCH_N", 65536 if on_tpu else 512))
     nn = int(os.environ.get("HTF_BENCH_NN", 64))
-    steps = int(os.environ.get("HTF_BENCH_STEPS", 100 if on_tpu else 50))
+    steps = int(os.environ.get("HTF_BENCH_STEPS", 200 if on_tpu else 50))
     r_cut = 3.0
 
     model = LJ(nn)
@@ -42,13 +42,14 @@ def main():
                          seed=0)
     sim.init_lattice(n, density=0.4, kT_init=1.2)
     # jitter so cell-capacity planning sees fluid-like (not lattice-aligned)
-    # occupancy
+    # occupancy; capacity drives the candidate width and therefore the
+    # neighbor-build cost directly
     import dataclasses
     import numpy as np
     rng = np.random.RandomState(0)
     sim.state = dataclasses.replace(
         sim.state, positions=sim.state.positions +
-        0.05 * jnp.asarray(rng.randn(n, 3).astype(np.float32)))
+        0.3 * jnp.asarray(rng.randn(n, 3).astype(np.float32)))
     tfc = htf.tfcompute(model)
     tfc.attach(sim, r_cut=r_cut)
 

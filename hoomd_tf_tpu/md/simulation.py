@@ -121,10 +121,10 @@ class Simulation:
         if method == "auto":
             want_cell = (n >= 512 and not tfc.map_enabled and
                          config.usable(lengths, r_cut))
-            # measured on v5e: the fused Pallas selection overtakes the XLA
-            # payload sort above ~10k particles (VMEM-resident tiles vs
-            # HBM sort passes)
-            if want_cell and n >= 8192 and jax.default_backend() == "tpu":
+            # measured on v5e: the fused stacked-tile Pallas selection beats
+            # the XLA payload sort at every size (2.8 vs 6.1 ms at 4k,
+            # 68 vs 158 ms at 64k)
+            if want_cell and jax.default_backend() == "tpu":
                 sel_method = "pallas"
         if want_cell:
             grid, capacity = _cl.plan(n, lengths, r_cut, config)

@@ -42,76 +42,79 @@ _BLOCK = 8             # cells per program
 
 def _kernel(gx, gy, gz, gt, qx, qy, qz, odx, ody, odz, oty, *,
             cap, NN, cpad, r_cut, lengths, slot_bits):
-    """One program = 8 cells. Refs: candidates g* [B, cpad], queries
-    q* [B, cap], outputs o* [B, cap, NN]."""
+    """One program = 8 cells, processed as ONE stacked tile.
+
+    Refs: candidates g* [B, cpad], queries q* [B, cap], outputs
+    o* [B*cap, NN]. All 8 cells' query rows are expanded into a single
+    ``[B*cap, cpad]`` workspace (rows i*cap..(i+1)*cap-1 see cell i's
+    candidate row) so the NN-round selection loop runs 8x fewer, 8x larger
+    VPU ops -- op-issue overhead dominated the per-cell variant.
+
+    The expansion itself is two MXU matmuls: ``M [rows, B]`` (one-hot
+    row->cell) lifts candidate rows, and ``(M @ qblock) ⊙ D`` with a
+    one-hot lane mask ``D[r, j] = (r mod cap == j)`` extracts each row's
+    own query coordinate (Mosaic supports neither dynamic lane indexing
+    nor transposes; matmul against one-hots is the idiom for both).
+    """
     lx, ly, lz = lengths
     far_key = jnp.int32(_FAR_KEY)
-    sub_q = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, cap), 0)
-    sub_b = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, cpad), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (cap, NN), 1)
-    slot = jax.lax.broadcasted_iota(jnp.int32, (cap, cpad), 1)
-    zeros_out = jnp.zeros((cap, NN), jnp.float32)
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 0) ==
-           jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 1)
-           ).astype(jnp.float32)
+    rows = _BLOCK * cap
+    row_cell = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // cap
+    m_lift = (row_cell ==
+              jax.lax.broadcasted_iota(jnp.int32, (rows, _BLOCK), 1)
+              ).astype(jnp.float32)                       # [rows, B]
+    d_lane = ((jax.lax.broadcasted_iota(jnp.int32, (rows, cap), 0) % cap)
+              == jax.lax.broadcasted_iota(jnp.int32, (rows, cap), 1)
+              ).astype(jnp.float32)                       # [rows, cap]
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, NN), 1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (rows, cpad), 1)
+    zeros_out = jnp.zeros((rows, NN), jnp.float32)
 
-    gxv, gyv, gzv, gtv = gx[:], gy[:], gz[:], gt[:]
-    qxv, qyv, qzv = qx[:], qy[:], qz[:]
+    def lift(block):                                      # [B, X] -> [rows, X]
+        return jax.lax.dot_general(
+            m_lift, block[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def qcol(block):                                      # [B, cap] -> [rows, 1]
+        per_row = lift(block)                             # [rows, cap]
+        return jnp.sum(per_row * d_lane, axis=1, keepdims=True)
 
     def mi(d, L):
         return d - jnp.round(d / L) * L
 
-    for i in range(_BLOCK):
-        # row i of the candidate/query block, extracted with mask+reduce
-        # (Mosaic supports neither dynamic lane indexing nor thin slicing)
-        row_m = (sub_b == i).astype(jnp.float32)
-        qrow_m = (sub_q == i).astype(jnp.float32)
+    cgx, cgy, cgz, cgt = lift(gx), lift(gy), lift(gz), lift(gt)
+    ddx = mi(cgx - qcol(qx), lx)                          # [rows, cpad]
+    ddy = mi(cgy - qcol(qy), ly)
+    ddz = mi(cgz - qcol(qz), lz)
+    d2 = ddx * ddx + ddy * ddy + ddz * ddz
+    valid = (d2 <= r_cut * r_cut) & (d2 >= 25e-8)
+    key = jax.lax.bitcast_convert_type(d2, jnp.int32)
+    key = (key & jnp.int32(~((1 << slot_bits) - 1))) | slot
+    key = jnp.where(valid, key, far_key)
 
-        def crow(v):
-            return jnp.sum(v * row_m, axis=0, keepdims=True)  # [1, cpad]
+    def select(k, carry):
+        key_c, out_x, out_y, out_z, out_t = carry
+        m = jnp.min(key_c, axis=1, keepdims=True)         # [rows, 1]
+        sel = (key_c == m) & (m < far_key)
+        self_f = sel.astype(jnp.float32)
+        vx = jnp.sum(ddx * self_f, axis=1, keepdims=True)
+        vy = jnp.sum(ddy * self_f, axis=1, keepdims=True)
+        vz = jnp.sum(ddz * self_f, axis=1, keepdims=True)
+        vt = jnp.sum(cgt * self_f, axis=1, keepdims=True)
+        write = col == k                                  # [rows, NN]
+        out_x = jnp.where(write, vx, out_x)
+        out_y = jnp.where(write, vy, out_y)
+        out_z = jnp.where(write, vz, out_z)
+        out_t = jnp.where(write, vt, out_t)
+        key_c = jnp.where(sel, far_key, key_c)
+        return key_c, out_x, out_y, out_z, out_t
 
-        def qcol(v):
-            # query row -> column via an identity matmul on the MXU
-            # (the only transpose Mosaic lowers)
-            row = jnp.sum(v * qrow_m, axis=0, keepdims=True)  # [1, cap]
-            return jax.lax.dot_general(
-                eye, row, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)           # [cap, 1]
-
-        cgx, cgy, cgz, cgt = crow(gxv), crow(gyv), crow(gzv), crow(gtv)
-        ddx = mi(cgx - qcol(qxv), lx)                  # [cap, cpad]
-        ddy = mi(cgy - qcol(qyv), ly)
-        ddz = mi(cgz - qcol(qzv), lz)
-        d2 = ddx * ddx + ddy * ddy + ddz * ddz
-        valid = (d2 <= r_cut * r_cut) & (d2 >= 25e-8)
-        key = jax.lax.bitcast_convert_type(d2, jnp.int32)
-        key = (key & jnp.int32(~((1 << slot_bits) - 1))) | slot
-        key = jnp.where(valid, key, far_key)
-
-        def select(k, carry):
-            key_c, out_x, out_y, out_z, out_t = carry
-            m = jnp.min(key_c, axis=1, keepdims=True)   # [cap, 1]
-            sel = (key_c == m) & (m < far_key)
-            self_f = sel.astype(jnp.float32)
-            vx = jnp.sum(ddx * self_f, axis=1, keepdims=True)
-            vy = jnp.sum(ddy * self_f, axis=1, keepdims=True)
-            vz = jnp.sum(ddz * self_f, axis=1, keepdims=True)
-            vt = jnp.sum(cgt * self_f, axis=1, keepdims=True)
-            write = col == k                            # [cap, NN]
-            out_x = jnp.where(write, vx, out_x)
-            out_y = jnp.where(write, vy, out_y)
-            out_z = jnp.where(write, vz, out_z)
-            out_t = jnp.where(write, vt, out_t)
-            key_c = jnp.where(sel, far_key, key_c)
-            return key_c, out_x, out_y, out_z, out_t
-
-        _k, out_x, out_y, out_z, out_t = jax.lax.fori_loop(
-            0, NN, select,
-            (key, zeros_out, zeros_out, zeros_out, zeros_out))
-        odx[i] = out_x
-        ody[i] = out_y
-        odz[i] = out_z
-        oty[i] = out_t
+    _k, out_x, out_y, out_z, out_t = jax.lax.fori_loop(
+        0, NN, select, (key, zeros_out, zeros_out, zeros_out, zeros_out))
+    odx[:] = out_x
+    ody[:] = out_y
+    odz[:] = out_z
+    oty[:] = out_t
 
 
 def pallas_cell_select(gx, gy, gz, gt, qx, qy, qz, *, capacity, NN, r_cut,
@@ -145,9 +148,9 @@ def pallas_cell_select(gx, gy, gz, gt, qx, qy, qz, *, capacity, NN, r_cut,
                              memory_space=pltpu.VMEM)
     q_spec = pl.BlockSpec((_BLOCK, cap), lambda b: (b, 0),
                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((_BLOCK, cap, NN), lambda b: (b, 0, 0),
+    out_spec = pl.BlockSpec((_BLOCK * cap, NN), lambda b: (b, 0),
                             memory_space=pltpu.VMEM)
-    out_shape = (n_cells, cap, NN)
+    out_shape = (n_cells * cap, NN)
 
     outs = pl.pallas_call(
         kernel,
@@ -157,5 +160,4 @@ def pallas_cell_select(gx, gy, gz, gt, qx, qy, qz, *, capacity, NN, r_cut,
         out_shape=[jax.ShapeDtypeStruct(out_shape, jnp.float32)] * 4,
         interpret=interpret,
     )(gx, gy, gz, gt, qx, qy, qz)
-    flat = (n_cells * cap, NN)
-    return tuple(o.reshape(flat) for o in outs)
+    return tuple(outs)
