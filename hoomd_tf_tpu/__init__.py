@@ -30,6 +30,22 @@ Typical use::
 
 __version__ = "0.1.0"
 
+# runtime version gate (the analog of the reference's build-time
+# check_tf_version.py): fail fast on a jax too old for the APIs used here
+# (shard_map, register_dataclass, Pallas TPU).
+def _check_jax_version():
+    import jax as _jax
+    minimum = (0, 5, 0)
+    parts = tuple(int(p) for p in _jax.__version__.split(".")[:3]
+                  if p.isdigit())
+    if parts < minimum:
+        raise ImportError(
+            f"hoomd_tf_tpu requires jax >= {'.'.join(map(str, minimum))}, "
+            f"found {_jax.__version__}")
+
+
+_check_jax_version()
+
 from .ops import (box_size, wrap_vector, make_box, box_from_lengths,
                   safe_norm, nlist_rinv, masked_nlist, divide_no_nan,
                   multiply_no_nan, compute_nlist_forces,

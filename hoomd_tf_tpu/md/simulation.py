@@ -54,6 +54,7 @@ class Simulation:
         self.state = None
         self.forces = []
         self.tfc = None         # attached tfcompute driver (or None)
+        self.log = None         # thermo history (run(log_period=...))
         self._scan_cache = {}
         self._warm = False
 
@@ -183,7 +184,8 @@ class Simulation:
             w = w + wi
         return f, w
 
-    def _make_step(self, n_extras, extras_shapes, nlist_builder=None):
+    def _make_step(self, n_extras, extras_shapes, nlist_builder=None,
+                   log=False):
         """Build the scan body. Static configuration is closed over."""
         tfc = self.tfc
         model = tfc.model if tfc else None
@@ -391,8 +393,10 @@ class Simulation:
             state = dataclasses.replace(state, forces=net_f, virial=net_w)
             state = integ.post_force(state, dt)
             state = dataclasses.replace(state, step=state.step + 1)
-            ys = ((loss, extras, cell_overflow) if (train or n_extras)
-                  else (loss, (), cell_overflow))
+            thermo_y = (_thermo.thermo(state) if log else {})
+            ys = ((loss, extras, cell_overflow, thermo_y)
+                  if (train or n_extras)
+                  else (loss, (), cell_overflow, thermo_y))
             return (state, mv, opt_state, model_forces, model_virial), ys
 
         return step
@@ -426,8 +430,13 @@ class Simulation:
         extras = out[tfc.output_offset:]
         return len(extras), tuple(tuple(e.shape) for e in extras)
 
-    def run(self, n, **kwargs):
-        """Advance the simulation ``n`` steps (one compiled scan)."""
+    def run(self, n, log_period=None):
+        """Advance the simulation ``n`` steps (one compiled scan).
+
+        :param log_period: if set, record thermodynamic quantities every
+            this many steps into ``self.log`` (dict of numpy arrays, the
+            analog of the reference's hoomd ``analyze.log`` integration).
+        """
         if self.state is None:
             raise RuntimeError("Initialize the simulation state first "
                                "(init_lattice / init_state)")
@@ -436,14 +445,16 @@ class Simulation:
             return
         tfc = self.tfc
         n_extras, extras_shapes = self._warmup() if tfc else (0, ())
+        log = log_period is not None
 
         cache_key = (n, n_extras, extras_shapes,
                      tfc.config_key if tfc else None,
-                     len(self.forces))
+                     len(self.forces), log)
         if cache_key not in self._scan_cache:
             nlist_builder = (self._make_nlist_builder()
                              if tfc and tfc.nneighbor_cutoff > 0 else None)
-            step = self._make_step(n_extras, extras_shapes, nlist_builder)
+            step = self._make_step(n_extras, extras_shapes, nlist_builder,
+                                   log=log)
 
             @jax.jit
             def scan_n(carry):
@@ -464,12 +475,24 @@ class Simulation:
         (state, mv, opt_state, mf, mvir), ys = \
             self._scan_cache[cache_key](carry)
         self.state = state
+        if log:
+            thermo_hist = ys[3]
+            steps = np.arange(int(np.asarray(state.step)) - n,
+                              int(np.asarray(state.step)))
+            keep = (steps % log_period) == 0
+            entry = {k: np.asarray(v)[keep] for k, v in thermo_hist.items()}
+            entry["step"] = steps[keep]
+            if not hasattr(self, "log") or self.log is None:
+                self.log = entry
+            else:
+                self.log = {k: np.concatenate([self.log[k], entry[k]])
+                            for k in entry}
         if tfc:
             set_state(tfc.model, mv)
             tfc._model_forces, tfc._model_virial = mf, mvir
             if tfc.train:
                 tfc.opt_state = opt_state
-            tfc.collect_outputs(np.asarray(state.step) - n, n, ys)
+            tfc.collect_outputs(np.asarray(state.step) - n, n, ys[:3])
             tfc.check_overflow()
 
 

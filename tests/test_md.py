@@ -262,6 +262,24 @@ class TestNoNlistModel:
         assert np.all(np.isfinite(f))
 
 
+class TestThermoLog:
+    def test_log_period(self):
+        """run(log_period=k) records thermo history (the hoomd
+        analyze.log analog)."""
+        n = 9
+        model = zoo.LJModel(n - 1)
+        sim = make_sim(n=n, kT_init=0.8, dt=0.001)
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=5.0)
+        sim.run(20, log_period=5)
+        assert set(sim.log) == {"kinetic_energy", "potential_energy",
+                                "temperature", "pressure", "step"}
+        np.testing.assert_array_equal(sim.log["step"], [0, 5, 10, 15])
+        assert np.all(np.isfinite(sim.log["potential_energy"]))
+        sim.run(10, log_period=5)
+        assert len(sim.log["step"]) == 6  # accumulates across runs
+
+
 class TestThermo:
     def test_pressure_sign_repulsive(self):
         """A compressed repulsive system must have positive pressure."""
