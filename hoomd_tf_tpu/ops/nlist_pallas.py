@@ -92,29 +92,37 @@ def _kernel(gx, gy, gz, gt, qx, qy, qz, odx, ody, odz, oty, *,
     key = (key & jnp.int32(~((1 << slot_bits) - 1))) | slot
     key = jnp.where(valid, key, far_key)
 
-    def select(k, carry):
-        key_c, out_x, out_y, out_z, out_t = carry
+    # the four payloads stacked into one tall tile: per selection round,
+    # ONE masked reduction extracts dx, dy, dz and type together
+    v4 = jnp.concatenate([ddx, ddy, ddz, cgt], axis=0)    # [4*rows, cpad]
+    zeros4 = jnp.zeros((4 * rows, NN), jnp.float32)
+    col4 = jax.lax.broadcasted_iota(jnp.int32, (4 * rows, NN), 1)
+
+    # early-exit selection: real neighbor counts are usually well below NN
+    # (the list is capacity-padded), so stop as soon as no row extracted
+    # anything in the previous round
+    def cond(carry):
+        k, alive, *_ = carry
+        return jnp.logical_and(k < NN, alive)
+
+    def select(carry):
+        k, _alive, key_c, out4 = carry
         m = jnp.min(key_c, axis=1, keepdims=True)         # [rows, 1]
         sel = (key_c == m) & (m < far_key)
         self_f = sel.astype(jnp.float32)
-        vx = jnp.sum(ddx * self_f, axis=1, keepdims=True)
-        vy = jnp.sum(ddy * self_f, axis=1, keepdims=True)
-        vz = jnp.sum(ddz * self_f, axis=1, keepdims=True)
-        vt = jnp.sum(cgt * self_f, axis=1, keepdims=True)
-        write = col == k                                  # [rows, NN]
-        out_x = jnp.where(write, vx, out_x)
-        out_y = jnp.where(write, vy, out_y)
-        out_z = jnp.where(write, vz, out_z)
-        out_t = jnp.where(write, vt, out_t)
+        self4 = jnp.concatenate([self_f] * 4, axis=0)     # [4*rows, cpad]
+        vv = jnp.sum(v4 * self4, axis=1, keepdims=True)   # [4*rows, 1]
+        out4 = jnp.where(col4 == k, vv, out4)
         key_c = jnp.where(sel, far_key, key_c)
-        return key_c, out_x, out_y, out_z, out_t
+        alive = jnp.any(m < far_key)
+        return k + 1, alive, key_c, out4
 
-    _k, out_x, out_y, out_z, out_t = jax.lax.fori_loop(
-        0, NN, select, (key, zeros_out, zeros_out, zeros_out, zeros_out))
-    odx[:] = out_x
-    ody[:] = out_y
-    odz[:] = out_z
-    oty[:] = out_t
+    _k, _a, _key, out4 = jax.lax.while_loop(
+        cond, select, (jnp.int32(0), jnp.bool_(True), key, zeros4))
+    odx[:] = out4[0:rows]
+    ody[:] = out4[rows:2 * rows]
+    odz[:] = out4[2 * rows:3 * rows]
+    oty[:] = out4[3 * rows:4 * rows]
 
 
 def pallas_cell_select(gx, gy, gz, gt, qx, qy, qz, *, capacity, NN, r_cut,

@@ -126,10 +126,19 @@ def compute_pairwise(model, r, type_i=0, type_j=0):
 
 def create_frame(frame_number, N, types, typeids, positions, box):
     """Build a gsd snapshot (reference parity: ``utils.py:204-233``).
-    Requires the optional ``gsd`` package."""
-    import gsd.hoomd
 
-    s = gsd.hoomd.Snapshot()
+    Uses the ``gsd`` package when available; otherwise returns a
+    schema-compatible lightweight snapshot that the native GSD writer
+    (:func:`.gsd_io.write_gsd_frames` / :class:`.gsd_io.GSDFile`)
+    understands, so the workflow needs no optional dependencies.
+    """
+    try:
+        import gsd.hoomd
+        s = gsd.hoomd.Snapshot()
+    except ImportError:
+        from types import SimpleNamespace
+        s = SimpleNamespace(configuration=SimpleNamespace(),
+                            particles=SimpleNamespace())
     s.configuration.step = frame_number
     s.configuration.box = box
     s.particles.N = N

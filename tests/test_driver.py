@@ -162,6 +162,24 @@ class TestTraining:
         with pytest.raises(AttributeError):
             htf.tfcompute(model).attach(sim, r_cut=3.0, train=True)
 
+    def test_online_training_batched(self):
+        """Train with particle batching active (reference
+        test_training_flag uses batch_size=4)."""
+        n = 16
+        r_cut = 3.0
+        model = zoo.TrainableGraph(n - 1, output_forces=False)
+        model.lj.w.assign(jnp.asarray([0.6, 1.3]))
+        model.compile(optimizer="adam", loss="mse", learning_rate=5e-2)
+        sim = make_sim(n=n, a=1.2, kT_init=0.8, dt=0.0)
+        lj = sim.add_force(htf.md.LennardJones(r_cut=r_cut))
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=r_cut, train=True, batch_size=5)
+        tfc.set_reference_forces(lj)
+        sim.run(100)
+        losses = tfc.loss_history
+        assert len(losses) == 100
+        assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
+
     def test_training_flag_switch(self):
         """attach can be re-done with train on/off (reference
         test_training_flag)."""
