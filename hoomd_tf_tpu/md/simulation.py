@@ -239,9 +239,18 @@ class Simulation:
                     if f.shape[-1] == 3:
                         f = jnp.concatenate(
                             [f, jnp.zeros_like(f[:, :1])], axis=-1)
+                    if f.shape[0] < rows:
+                        # mapped models may emit forces for the all-atom
+                        # rows only; CG bead rows are zero (they are
+                        # virtual and repositioned by the mapping)
+                        f = jnp.pad(f, ((0, rows - f.shape[0]), (0, 0)))
                     forces4 = f
                     if model.virial and len(out) > 1:
-                        virial = out[1]
+                        w = out[1]
+                        if w.shape[0] < rows:
+                            w = jnp.pad(
+                                w, ((0, rows - w.shape[0]), (0, 0), (0, 0)))
+                        virial = w
                 return forces4, virial, tuple(out[offset:])
 
             if not batch_size:

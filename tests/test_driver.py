@@ -256,6 +256,31 @@ class TestMappedNlist:
         assert set(aa_types) & set(cg_types) <= {0}
 
 
+class TestMappedForces:
+    def test_aa_only_forces_padded(self):
+        """A mapped model emitting forces only for the all-atom rows runs;
+        CG bead rows stay zero."""
+        n = 9
+
+        class M(htf.SimModel):
+            def compute(self, nlist, positions, box):
+                aa_nlist, cg_nlist = self.mapped_nlist(nlist)
+                rinv = htf.nlist_rinv(aa_nlist)
+                return htf.compute_nlist_forces(
+                    aa_nlist, jnp.sum(rinv, axis=1))
+
+        model = M(8)
+        sim = make_sim(n=n, a=4.0, kT_init=0.5, dt=0.001)
+        tfc = htf.tfcompute(model)
+        tfc.enable_mapped_nlist(sim, zoo.MappedNlist.my_map)
+        tfc.attach(sim, r_cut=5.0)
+        sim.run(3)
+        f = tfc.get_forces_array()
+        assert f.shape == (n + 2, 4)
+        np.testing.assert_allclose(f[n:], 0.0)
+        assert np.abs(f[:n, :3]).sum() > 0
+
+
 class TestGuards:
     def test_overflow_raises_under_jit(self):
         n = 12
