@@ -15,7 +15,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models.simmodel import MolSimModel
-from .models.module import get_state
 from .ops.box import box_size
 
 __all__ = ["tfcompute"]

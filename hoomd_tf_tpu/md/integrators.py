@@ -13,7 +13,7 @@ thermostat degree of freedom) lives in ``SimState.thermostat``.
 import jax
 import jax.numpy as jnp
 
-from ..ops.box import box_size, wrap_vector
+from ..ops.box import box_size
 
 __all__ = ["NVE", "NVT", "Langevin", "Brownian"]
 

@@ -19,14 +19,13 @@ boundary-crossing inventory of SURVEY.md section 3.1 is empty by design.
 """
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import integrators as _integrators
-from .state import SimState, init_state, lattice_positions
+from .state import init_state, lattice_positions
 from . import thermo as _thermo
 from ..ops.nlist import compute_nlist
 from ..ops.box import box_size

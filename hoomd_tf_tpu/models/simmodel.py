@@ -21,8 +21,6 @@ TPU-native differences from the reference:
   (see SURVEY.md section 2.2).
 """
 
-import inspect
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,8 +16,6 @@ flag is returned so the driver can re-shard (the same fail-fast philosophy
 as the cell-list capacity and ``check_nlist``).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -10,8 +10,6 @@ strategy is bandwidth-trivial (64k x 4 floats = 1 MiB); ring halo exchange
 is the planned upgrade path for larger systems.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

@@ -244,6 +244,32 @@ class TestPeriod:
         assert np.abs(f2 - f1).max() > 1e-7
 
 
+class TestNlistConventions:
+    def test_full_not_half(self):
+        """Every pair appears in both particles' rows (the reference forces
+        full-list storage, TensorflowCompute.cc:74-84; test_nlist_count)."""
+        n = 27
+        model = zoo.LJModel(n - 1)
+        sim = make_sim(n=n, a=4.0)
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=5.0)
+        sim.run(1)
+        nl = tfc.get_nlist_array()
+        # lattice spacing 4.0, r_cut 5: each particle sees its 6 axial
+        # neighbors (3D sc lattice, min-image)
+        counts = (np.linalg.norm(nl[:, :, :3], axis=2) > 0.1).sum(axis=1)
+        assert counts.min() == 6
+        # symmetry: displacement r appearing in row i implies -r in some
+        # row j
+        all_rows = set()
+        for i in range(n):
+            for k in range(nl.shape[1]):
+                if np.any(nl[i, k, :3] != 0):
+                    all_rows.add(tuple(np.round(nl[i, k, :3], 3)))
+        for r in all_rows:
+            assert tuple(np.round(-np.array(r), 3)) in all_rows
+
+
 class TestNoNlistModel:
     def test_positions_only_model(self):
         n = 9
