@@ -214,6 +214,52 @@ class TestRetrace:
         assert tfc.outputs[0][-1] == 0
 
 
+class TestMiscParity:
+    def test_wrap_model(self):
+        """WrapModel smoke (reference test_wrap)."""
+        n = 9
+        model = zoo.WrapModel(0, output_forces=False)
+        sim = make_sim(n=n, a=4.0)
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=0)
+        sim.run(1)
+
+    def test_print_model(self):
+        """In-compute debug printing works under jit (reference
+        test_print used tf.print)."""
+        import jax
+        n = 9
+
+        class PrintModel(htf.SimModel):
+            def compute(self, nlist, positions, box):
+                rinv = htf.nlist_rinv(nlist)
+                energy = jnp.sum(rinv, axis=1)
+                jax.debug.print("energy sum: {}", jnp.sum(energy))
+                return htf.compute_nlist_forces(nlist, energy)
+
+        model = PrintModel(n - 1)
+        sim = make_sim(n=n, kT_init=0.5)
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=5.0)
+        sim.run(2)
+
+    def test_full_batch(self):
+        """batch_size == N behaves like unbatched (reference
+        test_full_batch)."""
+        n = 9
+        model = zoo.SimplePotential(n - 1)
+        sim = make_sim(n=n, a=4.0, kT_init=1.0)
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=5.0, batch_size=n)
+        sim.run(5)
+        sim2 = make_sim(n=n, a=4.0, kT_init=1.0)
+        t2 = htf.tfcompute(zoo.SimplePotential(n - 1))
+        t2.attach(sim2, r_cut=5.0)
+        sim2.run(5)
+        np.testing.assert_allclose(tfc.get_forces_array(),
+                                   t2.get_forces_array(), atol=1e-5)
+
+
 class TestEDS:
     def test_eds_convergence(self):
         """EDS drives the collective variable to the set point
