@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["pallas_cell_select"]
 
 _FAR_KEY = 0x7F000000  # bit pattern of a huge positive float (int32)
-_BLOCK = 8             # cells per program
+_BLOCK = 8             # cells per program (early-exit granularity: 16 measured worse)
 
 
 def _kernel(gx, gy, gz, gt, qx, qy, qz, odx, ody, odz, oty, *,
