@@ -53,7 +53,8 @@ from .ops import (box_size, wrap_vector, make_box, box_from_lengths,
                   nlist_from_positions, CellList, cell_list_nlist,
                   compute_rdf)
 from .models import (Variable, Layer, Mean, MeanTensor, SimModel, MolSimModel,
-                     RBFExpansion, WCARepulsion, EDSLayer, Dense)
+                     RBFExpansion, WCARepulsion, EDSLayer, Dense,
+                     LJPotential, TrainableLJ, NeuralPairPotential)
 from . import ops
 from . import models
 
@@ -83,6 +84,7 @@ __all__ = [
     "compute_rdf",
     "Variable", "Layer", "Mean", "MeanTensor", "SimModel", "MolSimModel",
     "RBFExpansion", "WCARepulsion", "EDSLayer", "Dense",
+    "LJPotential", "TrainableLJ", "NeuralPairPotential",
     "Simulation", "tfcompute",
     "find_molecules", "find_molecules_from_topology", "matrix_mapping",
     "sparse_mapping", "center_of_mass", "gen_mapped_exclusion_list",

@@ -65,14 +65,16 @@ def compute_nlist(positions, r_cut, NN, box_size, sorted=False,
         nem = jnp.logical_not(jnp.asarray(exclusion_matrix))
         mask = mask & nem & nem.T
     mask_cast = mask.astype(dist.dtype)
+    # systems smaller than NN: take everything and zero-pad the columns
+    k = min(NN, dist.shape[1])
     if sorted:
         # invalid -> huge distance -> never in top-k of negated distances
         dist_mat_r = dist * mask_cast + (1 - mask_cast) * 1e20
-        _, idx = jax.lax.top_k(-dist_mat_r, NN)
+        _, idx = jax.lax.top_k(-dist_mat_r, k)
     else:
         # invalid -> 0 -> drops out of top-k of (positive) distances
         dist_mat_r = dist * mask_cast
-        _, idx = jax.lax.top_k(dist_mat_r, NN)
+        _, idx = jax.lax.top_k(dist_mat_r, k)
 
     nlist_pos = jnp.take_along_axis(dist_mat, idx[:, :, None], axis=1)
     nlist_mask = jnp.take_along_axis(mask_cast, idx, axis=1)[:, :, None]
@@ -82,7 +84,10 @@ def compute_nlist(positions, r_cut, NN, box_size, sorted=False,
         last = nlist_type.astype(nlist_pos.dtype)
     else:
         last = idx[:, :, None].astype(nlist_pos.dtype)
-    return jnp.concatenate([nlist_pos, last], axis=-1) * nlist_mask
+    out = jnp.concatenate([nlist_pos, last], axis=-1) * nlist_mask
+    if k < NN:
+        out = jnp.pad(out, ((0, 0), (0, NN - k), (0, 0)))
+    return out
 
 
 def nlist_from_positions(positions, types, r_cut, NN, box):
