@@ -34,20 +34,21 @@ class TestLJPotential:
 
 class TestTrainableLJ:
     def test_force_matching_converges(self):
-        inputs = make_inputs()
+        # dense configuration: strong repulsive forces make eps/sigma
+        # identifiable (at lattice spacings near the potential minimum a
+        # single frame under-determines them)
+        inputs = make_inputs(a=1.05)
         truth = htf.LJPotential(12)
         labels = truth(inputs)[0]
-        model = htf.TrainableLJ(12, epsilon=0.5, sigma=1.3)
-        model.compile(optimizer="adam", loss="mse", learning_rate=5e-2)
+        model = htf.TrainableLJ(12, epsilon=0.5, sigma=1.2)
+        model.compile(optimizer="adam", loss="mse", learning_rate=2e-2)
         losses = [float(model.train_on_batch(inputs, labels))
-                  for _ in range(60)]
-        assert losses[-1] < losses[0] * 1e-2, (losses[0], losses[-1])
-        # the fit is judged on forces (a single frame under-determines the
-        # eps/sigma pair: near the potential minimum they trade off)
+                  for _ in range(300)]
+        assert losses[-1] < losses[0] * 1e-3, (losses[0], losses[-1])
         pred = np.asarray(model(inputs)[0][:, :3])
         ref = np.asarray(labels[:, :3])
         scale = np.abs(ref).max()
-        np.testing.assert_allclose(pred, ref, atol=0.15 * scale)
+        np.testing.assert_allclose(pred, ref, atol=0.1 * scale)
 
 
 class TestNeuralPairPotential:
