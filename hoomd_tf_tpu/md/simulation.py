@@ -81,8 +81,13 @@ class Simulation:
         return self.state
 
     def _post_init(self):
-        self.state = dataclasses.replace(
-            self.state, thermostat=self.integrator.init(self.state))
+        # initialize integrator state only when absent/mismatched: a
+        # checkpoint-restored state (set_state) must keep its thermostat
+        # degrees of freedom for exact resume
+        fresh = self.integrator.init(self.state)
+        current = self.state.thermostat or {}
+        if set(current) != set(fresh):
+            self.state = dataclasses.replace(self.state, thermostat=fresh)
         self._scan_cache.clear()
 
     # ------------------------------------------------------------------

@@ -378,6 +378,38 @@ class TestCheckpoint:
                                    atol=1e-6)
 
 
+class TestCheckpointThermostat:
+    def test_nvt_state_survives_resume(self, tmp_path):
+        """Checkpoint resume preserves the Nose-Hoover degree of freedom
+        (exact resume, SURVEY section 5 checkpoint/resume)."""
+        from hoomd_tf_tpu.serialize import save_checkpoint, load_checkpoint
+        n = 9
+        model = zoo.LJModel(n - 1)
+        sim = make_sim(n=n, kT_init=0.8, dt=0.002,
+                       integrator=htf.md.NVT(kT=0.8, tau=0.3))
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=5.0)
+        sim.run(50)
+        xi_before = float(sim.state.thermostat["xi"])
+        assert xi_before != 0.0
+        path = str(tmp_path / "ckpt.pkl")
+        save_checkpoint(path, model=model, sim=sim, tfc=tfc)
+        sim.run(25)
+        load_checkpoint(path, model=model, sim=sim, tfc=tfc)
+        assert float(sim.state.thermostat["xi"]) == xi_before
+        sim.run(25)
+        a = np.array(sim.state.positions)
+        # fresh resume from the same checkpoint reproduces it exactly
+        sim2 = make_sim(n=n, kT_init=0.8, dt=0.002,
+                        integrator=htf.md.NVT(kT=0.8, tau=0.3))
+        t2 = htf.tfcompute(zoo.LJModel(n - 1))
+        t2.attach(sim2, r_cut=5.0)
+        load_checkpoint(path, model=t2.model, sim=sim2, tfc=t2)
+        sim2.run(25)
+        np.testing.assert_allclose(a, np.array(sim2.state.positions),
+                                   atol=1e-6)
+
+
 class TestComputePairwise:
     def test_compute_pairwise(self):
         model = zoo.LJModel(4)
