@@ -154,6 +154,56 @@ class TestShardedMD:
                                    atol=1e-4)
 
 
+class TestShardedSimulation:
+    def test_nvt_run_and_thermo(self):
+        """The multi-chip Simulation front end: lattice init, attach,
+        run NVT, thermo -- all sharded over 8 devices."""
+        from hoomd_tf_tpu.parallel import ShardedSimulation
+
+        sim = ShardedSimulation(dt=0.002, kT=0.8, tau=0.5,
+                                mesh=make_mesh(8), seed=1)
+        sim.init_lattice(128, a=1.4, kT_init=0.8)
+        sim.attach(zoo.LJModel(24), r_cut=2.5)
+        sim.run(50)
+        t = sim.thermo()
+        assert np.isfinite(t["potential_energy"])
+        assert 0.1 < t["temperature"] < 3.0
+        assert int(sim.state.step) == 50
+        # state stays sharded over the particle axis
+        shard_shapes = {d.shape for d in
+                        [s.data for s in
+                         sim.state.positions.addressable_shards]}
+        assert shard_shapes == {(16, 3)}
+
+    def test_matches_single_device(self):
+        """NVE through ShardedSimulation == single-device Simulation."""
+        from hoomd_tf_tpu.parallel import ShardedSimulation
+
+        n, r_cut, NN, dt, steps = 64, 2.5, 16, 0.001, 10
+        pos4, lengths = lattice_pos4(n, a=1.3, seed=9, jitter=0.05)
+
+        ssim = ShardedSimulation(dt=dt, mesh=make_mesh(8), seed=0)
+        ssim.init_lattice(n, a=1.3)
+        import dataclasses
+        ssim.state = dataclasses.replace(
+            ssim.state, positions=jnp.asarray(pos4[:, :3]),
+            velocities=jnp.zeros((n, 3), jnp.float32))
+        ssim._shard_state()
+        ssim.attach(zoo.LJModel(NN), r_cut=r_cut)
+        ssim.run(steps)
+
+        sim = htf.Simulation(dt=dt, integrator=htf.md.NVE(), seed=0)
+        sim.init_state(np.asarray(pos4), lengths,
+                       velocities=np.zeros((n, 3), np.float32))
+        tfc = htf.tfcompute(zoo.LJModel(NN))
+        tfc.attach(sim, r_cut=r_cut, nlist="n2")
+        sim.run(steps)
+
+        np.testing.assert_allclose(np.asarray(ssim.state.positions),
+                                   np.asarray(sim.state.positions),
+                                   atol=1e-4)
+
+
 class TestShardedTraining:
     def test_loss_decreases(self):
         import optax
