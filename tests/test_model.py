@@ -174,6 +174,42 @@ class TestTrainOnBatch:
             model.train_on_batch(make_inputs(), jnp.zeros((9, 4)))
 
 
+class TestWCARegularizer:
+    def test_sigma_pushed_up_by_regularizer(self):
+        """The WCA negative-strength regularizer pushes sigma toward larger
+        distances during training (reference layers.py:52-98 semantics)."""
+        inputs = make_inputs()
+        model = zoo.WCAModel(8)
+        model.compile(optimizer="sgd", loss="mse", learning_rate=1e-2)
+        # labels = current output, so the only gradient source on sigma
+        # beyond the data term is the regularizer
+        labels = model(inputs)[0]
+        s0 = float(model.wca.sigma.value)
+        for _ in range(10):
+            model.train_on_batch(inputs, labels)
+        assert float(model.wca.sigma.value) > s0
+
+
+class TestConfigRoundtrip:
+    def test_mol_model_config(self):
+        m = zoo.LJMolModel(MN=2, mol_indices=[[0, 1], [2]],
+                           nneighbor_cutoff=4)
+        c = m.get_config()
+        assert c["MN"] == 2
+        # indices are stored 1-indexed and padded (reference convention)
+        assert c["mol_indices"] == [[1, 2], [3, 0]]
+        m2 = zoo.LJMolModel.from_config(
+            {**c, "mol_indices": [[0, 1], [2]]})
+        assert m2.MN == 2
+
+    def test_eds_layer_config(self):
+        layer = htf.EDSLayer(4.0, 5, learning_rate=0.2)
+        c = layer.get_config()
+        assert c["period"] == 5 and c["learning_rate"] == 0.2
+        layer2 = htf.EDSLayer(**c)
+        assert layer2.period == 5
+
+
 class TestCheckNlist:
     def test_overflow_raises_eager(self):
         # crowd particles so every slot fills
