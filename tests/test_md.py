@@ -322,3 +322,29 @@ class TestThermo:
         ke = sim.thermo()["kinetic_energy"]
         v = np.asarray(sim.state.velocities)
         np.testing.assert_allclose(ke, 0.5 * (v ** 2).sum(), rtol=1e-5)
+
+
+class TestTypedPairs:
+    def test_lj_type_matrix(self):
+        """Built-in LJ with per-type-pair coefficient matrices."""
+        n = 16
+        eps = np.array([[1.0, 0.5], [0.5, 2.0]], np.float32)
+        sig = np.array([[1.0, 1.1], [1.1, 0.9]], np.float32)
+        sim = htf.Simulation(dt=0.001, seed=3)
+        sim.init_lattice(n, a=1.5, kT_init=0.5)
+        import dataclasses
+        types = np.zeros(n, np.int32)
+        types[n // 2:] = 1
+        sim.state = dataclasses.replace(
+            sim.state, types=jnp.asarray(types))
+        lj = sim.add_force(htf.md.LennardJones(epsilon=jnp.asarray(eps),
+                                               sigma=jnp.asarray(sig),
+                                               r_cut=3.0))
+        obs = htf.tfcompute(zoo.TensorSaveModel(n - 1, output_forces=False))
+        obs.attach(sim, r_cut=3.0)
+        sim.run(2)
+        f = np.asarray(sim.state.forces)
+        assert np.all(np.isfinite(f))
+        assert np.abs(f[:, :3]).sum() > 0
+        # symmetric coefficients => Newton's third law holds
+        np.testing.assert_allclose(f[:, :3].sum(axis=0), 0.0, atol=1e-3)
