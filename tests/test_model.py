@@ -131,6 +131,44 @@ class TestForceCapture:
         assert any(float(jnp.sum(jnp.abs(gi))) > 0 for gi in g)
 
 
+class TestMixedForceCalls:
+    def test_nlist_and_positions_forces_in_one_compute(self):
+        """Both force kinds in one compute: the capture's call counter keeps
+        the replays aligned."""
+        inputs = make_inputs()
+
+        class Mixed(htf.SimModel):
+            def compute(self, nlist, positions, box):
+                rinv = htf.nlist_rinv(nlist)
+                f1 = htf.compute_nlist_forces(nlist, jnp.sum(rinv, axis=1))
+                e2 = jnp.sum(positions[:, :3] ** 2)
+                f2 = htf.compute_positions_forces(positions, e2)
+                return f1[:, :3] + f2[:, :3]
+
+        f = np.asarray(Mixed(8)(inputs)[0])
+        fa = htf.compute_nlist_forces(
+            inputs[0], lambda nl: jnp.sum(htf.nlist_rinv(nl), axis=1))
+        fb = htf.compute_positions_forces(
+            inputs[1], lambda p: jnp.sum(p[:, :3] ** 2))
+        np.testing.assert_allclose(
+            f, np.asarray(fa[:, :3] + fb[:, :3]), atol=1e-5)
+
+
+class TestBfloat16:
+    def test_model_runs_in_bf16(self):
+        """dtype=bfloat16 works end to end (MXU-native precision); ~1e-2
+        force error vs f32 is expected."""
+        inputs = make_inputs()
+        m16 = zoo.LJModel(8, dtype=jnp.bfloat16)
+        out = m16(inputs)[0]
+        assert out.dtype == jnp.bfloat16
+        f16 = np.asarray(out, dtype=np.float32)
+        f32 = np.asarray(zoo.LJModel(8)(inputs)[0])
+        assert np.all(np.isfinite(f16))
+        scale = max(1.0, np.abs(f32).max())
+        np.testing.assert_allclose(f16, f32, atol=0.05 * scale)
+
+
 class TestTrainingFlag:
     def test_training_changes_output(self):
         inputs = make_inputs()
