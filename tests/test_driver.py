@@ -214,6 +214,22 @@ class TestRetrace:
         assert tfc.outputs[0][-1] == 0
 
 
+class TestCustomNlist:
+    def test_in_graph_nlist_cross_check(self):
+        """The engine's neighbor distances match an in-compute
+        compute_nlist rebuild (reference CustomNlist model)."""
+        n = 9
+        r_cut = 5.0
+        model = zoo.CustomNlist(n - 1, output_forces=False, r_cut=r_cut)
+        sim = make_sim(n=n, kT_init=0.5, dt=0.001)
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=r_cut, save_output_period=1)
+        sim.run(2)
+        r, cr = tfc.outputs
+        np.testing.assert_allclose(np.sort(r, axis=-1),
+                                   np.sort(cr, axis=-1), atol=1e-4)
+
+
 class TestMiscParity:
     def test_wrap_model(self):
         """WrapModel smoke (reference test_wrap)."""

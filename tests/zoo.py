@@ -142,6 +142,12 @@ class LJMolModel(htf.MolSimModel):
 
 
 class CustomNlist(htf.SimModel):
+    """Builds its own neighbor list inside compute (reference CustomNlist:
+    cross-checks the engine's nlist against compute_nlist in-graph)."""
+
+    def setup(self, r_cut):
+        self.r_cut = r_cut
+
     def compute(self, nlist, positions, box):
         r = jnp.linalg.norm(nlist[:, :, :3], axis=2)
         cnlist = htf.compute_nlist(positions[:, :3], self.r_cut,
