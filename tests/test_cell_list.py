@@ -90,6 +90,25 @@ class TestCellListCrossCheck:
             htf.cell_list_nlist(pos4, 3.0, 8, jnp.asarray([4.0, 4.0, 4.0]))
 
 
+class TestPallasInSimulation:
+    def test_attach_pallas_runs(self):
+        """nlist='pallas' through the full Simulation (interpreter on CPU);
+        forces match the n2 path on identical positions."""
+        n = 600
+        r_cut, NN = 3.0, 48
+
+        def run(method):
+            model = zoo.LJModel(NN)
+            sim = htf.Simulation(dt=0.0, integrator=htf.md.NVE(), seed=5)
+            sim.init_lattice(n, density=0.35, kT_init=1.0)
+            tfc = htf.tfcompute(model)
+            tfc.attach(sim, nlist=method, r_cut=r_cut)
+            sim.run(1)
+            return np.asarray(sim.state.forces)
+
+        np.testing.assert_allclose(run("pallas"), run("n2"), atol=1e-4)
+
+
 class TestCellListInSimulation:
     def test_forces_match_dense_path(self):
         """Same configuration with nlist='cell' vs nlist='n2' must produce
