@@ -50,8 +50,14 @@ def main():
     sim.state = dataclasses.replace(
         sim.state, positions=sim.state.positions +
         0.3 * jnp.asarray(rng.randn(n, 3).astype(np.float32)))
+    # wide-direct neighbor mode: the model consumes masked candidate
+    # planes, eliminating the nearest-NN selection entirely (exact same
+    # forces; see docs/performance.md). HTF_BENCH_NLIST=auto for the
+    # packed path.
+    nlist_mode = os.environ.get("HTF_BENCH_NLIST",
+                                "direct" if on_tpu else "auto")
     tfc = htf.tfcompute(model)
-    tfc.attach(sim, r_cut=r_cut)
+    tfc.attach(sim, r_cut=r_cut, nlist=nlist_mode)
 
     # warmup + compile the exact scan that will be timed
     sim.run(steps)

@@ -30,7 +30,7 @@ class LJ(htf.SimModel):
         return htf.compute_nlist_forces(nlist, energy)
 
 
-def bench_config(n, nn, steps, equil, rounds):
+def bench_config(n, nn, steps, equil, rounds, nlist_mode=None):
     import dataclasses
     sim = htf.Simulation(dt=0.005, integrator=htf.md.NVT(kT=1.2, tau=0.5),
                          seed=0)
@@ -39,11 +39,15 @@ def bench_config(n, nn, steps, equil, rounds):
     sim.state = dataclasses.replace(
         sim.state, positions=sim.state.positions +
         0.3 * jnp.asarray(rng.randn(n, 3).astype(np.float32)))
+    if nlist_mode is None:
+        nlist_mode = ('direct' if jax.devices()[0].platform == 'tpu'
+                      else 'auto')
     tfc = htf.tfcompute(LJ(nn))
-    tfc.attach(sim, r_cut=3.0)
+    tfc.attach(sim, r_cut=3.0, nlist=nlist_mode)
     result = benchmark_simulation(sim, steps=steps,
                                   equilibration=equil, reps=rounds)
-    result.update({"n_particles": n, "nn": nn})
+    result.update({"n_particles": n, "nn": nn,
+                   "nlist_mode": nlist_mode})
     return result
 
 

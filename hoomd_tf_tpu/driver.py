@@ -92,6 +92,12 @@ class tfcompute:
             if self.batch_size != 0:
                 raise ValueError(
                     "Cannot batch by molecule and by batch_number")
+        if nlist == "direct" and (self.batch_size or self.map_enabled or
+                                  isinstance(self.model, MolSimModel)):
+            raise ValueError(
+                "nlist='direct' is incompatible with particle batching, "
+                "molecule batching and mapped neighbor lists (it changes "
+                "the nlist form the model sees)")
 
         if self.nneighbor_cutoff > 0 and self.r_cut <= 0:
             raise ValueError("Must provide an r_cut if you have "
@@ -260,7 +266,11 @@ class tfcompute:
         return np.asarray(self.sim.state.positions4)
 
     def get_nlist_array(self):
-        return np.asarray(self.sim._build_nlist(self.sim.state))
+        from .ops.direct import NlistPlanes
+        nl = self.sim._build_nlist(self.sim.state)
+        if isinstance(nl, NlistPlanes):
+            nl = nl.stack()
+        return np.asarray(nl)
 
     def get_forces_array(self):
         """In tf2hoomd mode: the net forces. In hoomd2tf (train/observe)

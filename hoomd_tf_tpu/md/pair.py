@@ -19,31 +19,29 @@ __all__ = ["LennardJones", "WCA", "pair_force_from_energy_fn"]
 
 
 def pair_force_from_energy_fn(pair_energy_fn):
-    """Lift a per-pair energy ``u(r, type_i, type_j) -> energy`` (already
-    half-counted) into a force compute over the padded neighbor list.
+    """Lift a per-pair energy ``u(1/r, type_i, type_j) -> energy`` (already
+    half-counted) into a force compute over the neighbor list (packed
+    ``[N, NN, 4]`` or wide-direct planes -- both supported through
+    :func:`..ops.forces.compute_nlist_forces`'s callable form).
 
     Padded slots (r == 0) must yield exactly zero energy and derivative;
     use :func:`..ops.numerics.nlist_rinv`-style guards inside.
     """
-    import jax
+    from ..ops.direct import NlistPlanes
+    from ..ops.forces import compute_nlist_forces
 
     def force(state, nlist):
+        types_i = state.types
+
         def total_energy(nl):
-            r3 = nl[:, :, :3]
             rinv = nlist_rinv(nl)
-            types_i = state.types
-            types_j = nl[:, :, 3].astype(jnp.int32)
-            e = pair_energy_fn(rinv, types_i[:, None], types_j)
+            tj = (nl.type if isinstance(nl, NlistPlanes)
+                  else nl[:, :, 3]).astype(jnp.int32)
+            e = pair_energy_fn(rinv, types_i[:, None], tj)
             return jnp.sum(e, axis=1)
 
-        e_val, vjp_fn = jax.vjp(total_energy, nlist)
-        grad = vjp_fn(jnp.ones_like(e_val))[0]
-        nlist_forces = 2.0 * grad[:, :, :3]
-        f = jnp.sum(nlist_forces, axis=1)
-        forces = jnp.concatenate([f, e_val[:, None]], axis=-1)
-        # pairwise virial, same convention as ops.forces._compute_virial
-        from ..ops.forces import _compute_virial
-        virial = _compute_virial(nlist, nlist_forces)
+        forces, virial = compute_nlist_forces(nlist, total_energy,
+                                              virial=True)
         return forces, virial
 
     return force

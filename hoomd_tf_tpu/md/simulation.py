@@ -120,6 +120,27 @@ class Simulation:
 
         config = method if isinstance(method, _cl.CellList) else \
             _cl.CellList()
+        if method == "direct":
+            # wide-direct mode: hand the model the masked candidate planes
+            # (ops/direct.py) -- zero selection cost
+            from ..ops.direct import direct_cell_planes
+            grid, capacity = _cl.plan(n, lengths, r_cut, config)
+            if grid is None:
+                raise ValueError(
+                    f"Box {lengths} too small for the direct mode at "
+                    f"r_cut={r_cut}")
+            if config.capacity is None:
+                occ = _cl.max_occupancy(
+                    np.asarray(self.state.positions), lengths, grid)
+                capacity = max(capacity, int(np.ceil(occ * 1.3)) + 1)
+
+            def build(state):
+                return direct_cell_planes(
+                    state.positions4, r_cut, grid, capacity,
+                    box_size(state.box))
+            build.plan = (grid, capacity)
+            return build
+
         want_cell = isinstance(method, _cl.CellList) or \
             method in ("cell", "pallas")
         sel_method = "pallas" if method == "pallas" else "sort"
@@ -417,10 +438,22 @@ class Simulation:
     # ------------------------------------------------------------------
     def _warmup(self):
         """One eager model call to build lazy variables and discover the
-        extra-output shapes before functionalizing for the scan."""
+        extra-output shapes before functionalizing for the scan. Cached per
+        attach configuration: the eager call is host-dispatch heavy (very
+        costly through a remote TPU), and shapes are static per config."""
         tfc = self.tfc
         if tfc is None:
             return 0, ()
+        key = (tfc.config_key, self.state.n_particles)
+        cached = getattr(tfc, "_warmup_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        result = self._warmup_impl()
+        tfc._warmup_cache = (key, result)
+        return result
+
+    def _warmup_impl(self):
+        tfc = self.tfc
         nlist = self._build_nlist(self.state)
         if tfc.batch_size:
             # batched: the model sees one particle chunk per call and the

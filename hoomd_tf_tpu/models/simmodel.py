@@ -153,8 +153,9 @@ class SimModel(Layer):
     # ------------------------------------------------------------------
     def _check_nlist(self, nlist):
         """Reference-parity overflow check (``simmodel.py:216-224``)."""
-        count = jnp.max(
-            jnp.sum((nlist[:, :, 0] > 0).astype(jnp.int32), axis=1))
+        from ..ops.direct import NlistPlanes
+        x = nlist.dx if isinstance(nlist, NlistPlanes) else nlist[:, :, 0]
+        count = jnp.max(jnp.sum((x > 0).astype(jnp.int32), axis=1))
         full = count >= self.nneighbor_cutoff
         if isinstance(full, jax.core.Tracer):
             # under jit: fold into a flag the driver raises on
@@ -164,10 +165,13 @@ class SimModel(Layer):
             raise ValueError("Neighbor list is full!")
 
     def _prepare_args(self, inputs, training):
+        from ..ops.direct import NlistPlanes
         inputs = list(inputs)
-        args = [jnp.asarray(a, dtype=self.dtype)
+        args = [a if isinstance(a, NlistPlanes)
+                else jnp.asarray(a, dtype=self.dtype)
                 for a in inputs[: self._arg_count]]
-        if self._arg_count >= 1 and args[0].ndim == 2:
+        if self._arg_count >= 1 and not isinstance(args[0], NlistPlanes) \
+                and args[0].ndim == 2:
             # flat [N*NN, 4] nlist -> [N, NN, 4]
             args[0] = args[0].reshape(-1, max(1, self.nneighbor_cutoff), 4)
         if self._arg_count >= 3:

@@ -4,6 +4,7 @@ from .numerics import (safe_norm, nlist_rinv, masked_nlist, divide_no_nan,
 from .forces import compute_nlist_forces, compute_positions_forces
 from .nlist import compute_nlist, nlist_from_positions
 from .cell_list import CellList, cell_list_nlist
+from .direct import NlistPlanes, direct_cell_planes
 from .rdf import compute_rdf
 
 __all__ = [
@@ -13,5 +14,6 @@ __all__ = [
     "compute_nlist_forces", "compute_positions_forces",
     "compute_nlist", "nlist_from_positions",
     "CellList", "cell_list_nlist",
+    "NlistPlanes", "direct_cell_planes",
     "compute_rdf",
 ]

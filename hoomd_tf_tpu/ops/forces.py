@@ -188,7 +188,7 @@ def _compute_virial(nlist, nlist_forces):
 
 
 def _sanitize(grad):
-    """Zero out non-finite gradient elements.
+    """Zero out non-finite gradient elements (pytree-aware).
 
     Padded (all-zero) neighbor rows produce NaN through ``norm``-at-zero
     gradients in natural energy formulations (e.g. ``divide_no_nan(1,
@@ -197,7 +197,8 @@ def _sanitize(grad):
     not, so the same guard lives here -- a padded row must contribute
     exactly zero force.
     """
-    return jnp.where(jnp.isfinite(grad), grad, jnp.zeros_like(grad))
+    return jax.tree_util.tree_map(
+        lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)), grad)
 
 
 def _energy_grad(kind, value, energy):
@@ -230,12 +231,40 @@ def compute_nlist_forces(nlist, energy, virial=False):
     per-particle energy in the last column; with ``virial=True`` returns a
     ``(forces, virial)`` tuple where virial is ``[N, 3, 3]``.
 
-    :param nlist: ``[N, NN, 4]`` (or ``[N, NN, 3]``) neighbor list. Must be
-        the model's nlist input or a framework-produced slice of it.
+    :param nlist: ``[N, NN, 4]`` (or ``[N, NN, 3]``) neighbor list, or the
+        wide-direct :class:`..ops.direct.NlistPlanes`. Must be the model's
+        nlist input or a framework-produced slice of it.
     :param energy: the potential energy -- size ``1``, ``N`` or ``N x L`` --
         computed from ``nlist``; or a callable ``f(nlist) -> energy``.
     :param virial: also return the pairwise virial contribution.
     """
+    from .direct import NlistPlanes
+    if isinstance(nlist, NlistPlanes):
+        e_val, grad, placeholder = _energy_grad("nlist", nlist, energy)
+        n = nlist.dx.shape[0]
+        dtype = nlist.dx.dtype
+        if placeholder:
+            forces = jnp.zeros((n, 4), dtype=dtype)
+            return (forces, jnp.zeros((n, 3, 3), dtype=dtype)) if virial \
+                else forces
+        # f_ij components = 2 dE/d(dx_ij) etc.
+        fx, fy, fz = 2.0 * grad.dx, 2.0 * grad.dy, 2.0 * grad.dz
+        reduce3 = jnp.stack([jnp.sum(fx, axis=1), jnp.sum(fy, axis=1),
+                             jnp.sum(fz, axis=1)], axis=-1)
+        forces = _add_energy(
+            jnp.concatenate([reduce3, jnp.zeros((n, 1), dtype)], axis=-1),
+            e_val)
+        if virial:
+            f = (fx, fy, fz)
+            r = (nlist.dx, nlist.dy, nlist.dz)
+            w = jnp.stack(
+                [jnp.stack(
+                    [-0.25 * jnp.sum(f[a] * r[b] + f[b] * r[a], axis=1)
+                     for b in range(3)], axis=-1)
+                 for a in range(3)], axis=-2)
+            return forces, w
+        return forces
+
     nlist = jnp.asarray(nlist)
     e_val, grad, placeholder = _energy_grad("nlist", nlist, energy)
     if placeholder:

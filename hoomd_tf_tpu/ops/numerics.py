@@ -62,11 +62,19 @@ def nlist_rinv(nlist):
     kept verbatim: they are tuned so that differentiating through ``1/r``
     w.r.t. model parameters never produces NaN).
 
-    :param nlist: ``[N, NN, 4]`` (or ``[..., >=3]``) neighbor list.
-    :return: ``[N, NN]`` array of ``1/r``.
+    Accepts either the packed ``[N, NN, 4]`` neighbor list or the
+    wide-direct :class:`..ops.direct.NlistPlanes` form.
+
+    :return: ``[N, NN]`` (or ``[N, C]``) array of ``1/r``.
     """
     delta = 3e-6
-    r = safe_norm(nlist[..., :3], axis=-1, delta=delta / 3 / 10)
+    d = delta / 3 / 10
+    from .direct import NlistPlanes
+    if isinstance(nlist, NlistPlanes):
+        r = jnp.sqrt((nlist.dx + d) ** 2 + (nlist.dy + d) ** 2 +
+                     (nlist.dz + d) ** 2)
+    else:
+        r = safe_norm(nlist[..., :3], axis=-1, delta=d)
     # double-where so the gradient of the untaken branch is cut
     safe_r = jnp.where(r > delta, r, jnp.ones_like(r))
     return jnp.where(r > delta, 1.0 / (safe_r + delta), jnp.zeros_like(r))

@@ -109,6 +109,67 @@ class TestPallasInSimulation:
         np.testing.assert_allclose(run("pallas"), run("n2"), atol=1e-4)
 
 
+class TestDirectMode:
+    def test_matches_n2_forces(self):
+        """nlist='direct' (wide candidate planes) produces identical forces
+        to the packed path on identical positions."""
+        n = 600
+        r_cut, NN = 3.0, 48
+
+        def run(method):
+            model = zoo.LJModel(NN)
+            sim = htf.Simulation(dt=0.0, integrator=htf.md.NVE(), seed=5)
+            sim.init_lattice(n, density=0.35, kT_init=1.0)
+            tfc = htf.tfcompute(model)
+            tfc.attach(sim, nlist=method, r_cut=r_cut)
+            sim.run(1)
+            return np.asarray(sim.state.forces)
+
+        np.testing.assert_allclose(run("direct"), run("n2"), atol=1e-4)
+
+    def test_virial_and_builtin_forces(self):
+        """Built-in pair forces and virials work on the planes form."""
+        n = 600
+        sim = htf.Simulation(dt=0.001, seed=5)
+        sim.init_lattice(n, density=0.35, kT_init=0.5)
+        lj = sim.add_force(htf.md.LennardJones(r_cut=3.0))
+        model = zoo.LJVirialModel(48, virial=True)
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, nlist="direct", r_cut=3.0)
+        sim.run(2)
+        # model LJ + builtin LJ -> double forces, but both finite/symmetric
+        f = np.asarray(sim.state.forces)
+        w = np.asarray(sim.state.virial)
+        assert np.all(np.isfinite(f)) and np.all(np.isfinite(w))
+        np.testing.assert_allclose(f[:, :3].sum(axis=0), 0.0, atol=2e-2)
+        np.testing.assert_allclose(w, np.swapaxes(w, 1, 2), atol=1e-5)
+
+    def test_direct_training(self):
+        n = 300
+        sim = htf.Simulation(dt=0.001,
+                             integrator=htf.md.NVT(kT=1.0, tau=0.5),
+                             seed=5)
+        sim.init_lattice(n, density=0.35, kT_init=1.0)
+        lj = sim.add_force(htf.md.LennardJones(r_cut=3.0))
+        model = htf.TrainableLJ(48, epsilon=0.5, sigma=1.2,
+                                output_forces=False)
+        model.compile(optimizer="adam", loss="mse", learning_rate=1e-2)
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, nlist="direct", r_cut=3.0, train=True)
+        tfc.set_reference_forces(lj)
+        sim.run(30)
+        assert tfc.loss_history[-1] < tfc.loss_history[0]
+
+    def test_incompatible_options_raise(self):
+        import pytest
+        sim = htf.Simulation()
+        sim.init_lattice(64, a=1.5)
+        model = zoo.LJModel(16)
+        with pytest.raises(ValueError):
+            htf.tfcompute(model).attach(sim, nlist="direct", r_cut=3.0,
+                                        batch_size=4)
+
+
 class TestCellListInSimulation:
     def test_forces_match_dense_path(self):
         """Same configuration with nlist='cell' vs nlist='n2' must produce
