@@ -89,12 +89,25 @@ def masked_nlist(nlist, type_tensor, type_i=None, type_j=None):
     incompatible with XLA's static-shape compilation; a zero row contributes
     nothing downstream, e.g. to :func:`compute_rdf`).
 
-    :param nlist: ``[N, NN, 4]`` neighbor list.
+    Accepts the packed ``[N, NN, 4]`` form or wide-direct
+    :class:`..ops.direct.NlistPlanes`.
+
+    :param nlist: ``[N, NN, 4]`` neighbor list (or planes).
     :param type_tensor: ``[N]`` particle types (e.g. ``positions[:, 3]``).
     :param type_i: center-particle type filter.
     :param type_j: neighbor type filter.
-    :return: masked neighbor list, shape ``[N, NN, 4]``.
+    :return: masked neighbor list, same form as the input.
     """
+    from .direct import NlistPlanes
+    if isinstance(nlist, NlistPlanes):
+        mask = jnp.ones_like(nlist.dx)
+        if type_i is not None:
+            mask = mask * (type_tensor == type_i).astype(
+                nlist.dx.dtype)[:, None]
+        if type_j is not None:
+            mask = mask * (nlist.type == type_j).astype(nlist.dx.dtype)
+        return NlistPlanes(nlist.dx * mask, nlist.dy * mask,
+                           nlist.dz * mask, nlist.type * mask)
     nlist = jnp.asarray(nlist)
     if type_i is not None:
         mask = (type_tensor == type_i).astype(nlist.dtype)

@@ -26,10 +26,14 @@ def compute_rdf(nlist, r_range, type_tensor=None, nbins=100, type_i=None,
     :param type_j: neighbor type filter.
     :return: ``(rdf [nbins], bin-center radii [nbins])``.
     """
+    from .direct import NlistPlanes
     r_range = jnp.asarray(r_range, dtype=jnp.float32)
     if type_tensor is not None:
         nlist = masked_nlist(nlist, type_tensor, type_i, type_j)
-    r = jnp.linalg.norm(nlist[:, :, :3], axis=2)
+    if isinstance(nlist, NlistPlanes):
+        r = jnp.sqrt(nlist.r2())
+    else:
+        r = jnp.linalg.norm(nlist[:, :, :3], axis=2)
     lo, hi = r_range[0], r_range[1]
     width = (hi - lo) / nbins
     valid = (r > 0) & (r >= lo) & (r < hi)

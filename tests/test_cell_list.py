@@ -160,6 +160,26 @@ class TestDirectMode:
         sim.run(30)
         assert tfc.loss_history[-1] < tfc.loss_history[0]
 
+    def test_rdf_and_metrics_in_direct_mode(self):
+        """Observable models (RDF + running metrics) work on the planes
+        form."""
+        n = 600
+        model = zoo.LJTypedModel(48)  # helpers-only: planes-compatible
+        sim = htf.Simulation(dt=0.001, seed=5)
+        sim.init_lattice(n, density=0.35, kT_init=0.8)
+        import dataclasses
+        types = np.zeros(n, np.int32)
+        types[n // 2:] = 1
+        sim.state = dataclasses.replace(sim.state,
+                                        types=jnp.asarray(types))
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, nlist="direct", r_cut=3.0)
+        sim.run(5)
+        rdfa = np.asarray(model.avg_rdfa.result())
+        rdfb = np.asarray(model.avg_rdfb.result())
+        assert rdfa.sum() > 0
+        np.testing.assert_allclose(rdfa, rdfb, atol=1e-5)
+
     def test_incompatible_options_raise(self):
         import pytest
         sim = htf.Simulation()
