@@ -348,3 +348,50 @@ class TestTypedPairs:
         assert np.abs(f[:, :3]).sum() > 0
         # symmetric coefficients => Newton's third law holds
         np.testing.assert_allclose(f[:, :3].sum(axis=0), 0.0, atol=1e-3)
+
+
+class TestLangevinDeterminism:
+    def test_same_seed_same_trajectory(self):
+        def run():
+            sim = make_sim(n=16, a=1.5, kT_init=0.5, dt=0.002, seed=7,
+                           integrator=htf.md.Langevin(kT=0.8, gamma=1.0))
+            tfc = htf.tfcompute(zoo.LJModel(15))
+            tfc.attach(sim, r_cut=3.0)
+            sim.run(30)
+            return np.asarray(sim.state.positions)
+
+        np.testing.assert_allclose(run(), run(), atol=0)
+
+
+class TestBuiltinWCA:
+    def test_purely_repulsive(self):
+        """htf.md.WCA: zero beyond 2^(1/6) sigma, repulsive inside."""
+        n = 2
+        pos = np.zeros((n, 4), np.float32)
+        sim = htf.Simulation(dt=0.0, seed=0)
+        for r0, expect_force in [(1.0, True), (1.3, False)]:
+            pos[1, 0] = r0
+            sim.init_state(pos.copy(), [20.0, 20, 20])
+            wca = htf.md.WCA()
+            nlist = htf.compute_nlist(jnp.asarray(pos), 3.0, 4,
+                                      [20.0, 20, 20], sorted=True,
+                                      return_types=True)
+            f, w = wca(sim.state, nlist)
+            fx = float(f[0, 0])
+            if expect_force:
+                assert fx < -1.0  # pushed apart
+                # energy continuous at the cutoff: U(2^(1/6)) == 0 shift
+                assert float(f[0, 3]) > 0
+            else:
+                np.testing.assert_allclose(fx, 0.0, atol=1e-5)
+
+
+class TestPeriodWithSavedOutputs:
+    def test_save_every_other_call_with_period(self):
+        n = 9
+        model = zoo.TensorSaveModel(n - 1, output_forces=False)
+        sim = make_sim(n=n, kT_init=0.8)
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=5.0, period=3, save_output_period=2)
+        sim.run(18)  # model calls at steps 0,3,...,15 -> 6 calls, saves 3
+        assert tfc.outputs[0].shape == (3, n)
