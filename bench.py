@@ -34,7 +34,10 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     n = int(os.environ.get("HTF_BENCH_N", 65536 if on_tpu else 512))
     nn = int(os.environ.get("HTF_BENCH_NN", 64))
-    steps = int(os.environ.get("HTF_BENCH_STEPS", 200 if on_tpu else 50))
+    # 1000 steps matches the reference benchmark protocol
+    # (htf/test-py/benchmark.py: 1000 LJ MD steps per round) and amortizes
+    # the per-run dispatch overhead of the remote-TPU tunnel
+    steps = int(os.environ.get("HTF_BENCH_STEPS", 1000 if on_tpu else 50))
     r_cut = 3.0
 
     model = LJ(nn)
@@ -50,12 +53,13 @@ def main():
     sim.state = dataclasses.replace(
         sim.state, positions=sim.state.positions +
         0.3 * jnp.asarray(rng.randn(n, 3).astype(np.float32)))
-    # wide-direct neighbor mode: the model consumes masked candidate
-    # planes, eliminating the nearest-NN selection entirely (exact same
-    # forces; see docs/performance.md). HTF_BENCH_NLIST=auto for the
-    # packed path.
+    # slot-resident (cellwise) neighbor mode: state lives in cell-slot
+    # layout, candidate planes come from static rolls, and the whole step
+    # is gather-free between skin-triggered repacks (exact same forces;
+    # see docs/performance.md). HTF_BENCH_NLIST=direct/auto for the
+    # older paths.
     nlist_mode = os.environ.get("HTF_BENCH_NLIST",
-                                "direct" if on_tpu else "auto")
+                                "cellwise" if on_tpu else "auto")
     tfc = htf.tfcompute(model)
     tfc.attach(sim, r_cut=r_cut, nlist=nlist_mode)
 

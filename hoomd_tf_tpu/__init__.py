@@ -51,7 +51,8 @@ from .ops import (box_size, wrap_vector, make_box, box_from_lengths,
                   multiply_no_nan, compute_nlist_forces,
                   compute_positions_forces, compute_nlist,
                   nlist_from_positions, CellList, cell_list_nlist,
-                  NlistPlanes, direct_cell_planes, compute_rdf)
+                  NlistPlanes, direct_cell_planes, Cellwise,
+                  compute_rdf)
 from .models import (Variable, Layer, Mean, MeanTensor, SimModel, MolSimModel,
                      RBFExpansion, WCARepulsion, EDSLayer, Dense,
                      LJPotential, TrainableLJ, NeuralPairPotential)
@@ -81,7 +82,7 @@ __all__ = [
     "safe_norm", "nlist_rinv", "masked_nlist", "divide_no_nan",
     "multiply_no_nan", "compute_nlist_forces", "compute_positions_forces",
     "compute_nlist", "nlist_from_positions", "CellList", "cell_list_nlist",
-    "NlistPlanes", "direct_cell_planes", "compute_rdf",
+    "NlistPlanes", "direct_cell_planes", "Cellwise", "compute_rdf",
     "Variable", "Layer", "Mean", "MeanTensor", "SimModel", "MolSimModel",
     "RBFExpansion", "WCARepulsion", "EDSLayer", "Dense",
     "LJPotential", "TrainableLJ", "NeuralPairPotential",

@@ -49,9 +49,13 @@ class tfcompute:
             hoomd context of the reference).
         :param nlist: neighbor-list strategy: ``None``/``'auto'`` (cell list
             for large boxes, dense otherwise), ``'n2'`` (dense O(N^2)),
-            ``'cell'`` or a :class:`..ops.cell_list.CellList` config. In the
-            reference this argument is the HOOMD nlist object; here the
-            engine owns the build.
+            ``'cell'`` or a :class:`..ops.cell_list.CellList` config,
+            ``'direct'`` (wide candidate planes, no selection), or
+            ``'cellwise'`` / a :class:`..ops.cellwise.Cellwise` config
+            (slot-resident state; the fastest mode on TPU -- the model
+            sees ``NlistPlanes`` rows in cell-slot order, see
+            ops/cellwise.py). In the reference this argument is the HOOMD
+            nlist object; here the engine owns the build.
         :param r_cut: neighbor cutoff radius.
         :param period: run the model every ``period`` MD steps.
         :param batch_size: particle-batch size for memory capping (not
@@ -92,10 +96,13 @@ class tfcompute:
             if self.batch_size != 0:
                 raise ValueError(
                     "Cannot batch by molecule and by batch_number")
-        if nlist == "direct" and (self.batch_size or self.map_enabled or
-                                  isinstance(self.model, MolSimModel)):
+        from .ops.cellwise import Cellwise
+        planes_mode = (nlist in ("direct", "cellwise") or
+                       isinstance(nlist, Cellwise))
+        if planes_mode and (self.batch_size or self.map_enabled or
+                            isinstance(self.model, MolSimModel)):
             raise ValueError(
-                "nlist='direct' is incompatible with particle batching, "
+                f"nlist={nlist!r} is incompatible with particle batching, "
                 "molecule batching and mapped neighbor lists (it changes "
                 "the nlist form the model sees)")
 
@@ -209,7 +216,10 @@ class tfcompute:
         evaluations)."""
         if (self._model_forces is not None and
                 self._model_forces.shape[0] == n):
-            return self._model_forces, self._model_virial
+            mvir = self._model_virial
+            if mvir is None or mvir.shape[0] != n:
+                mvir = jnp.zeros((n, 3, 3), dtype=dtype)
+            return self._model_forces, mvir
         return (jnp.zeros((n, 4), dtype=dtype),
                 jnp.zeros((n, 3, 3), dtype=dtype))
 
@@ -228,9 +238,10 @@ class tfcompute:
         losses, extras, cell_overflow = ys
         if bool(np.any(np.asarray(cell_overflow))):
             raise ValueError(
-                "Cell-list capacity exceeded during the run (a cell held "
-                "more particles than planned). Increase CellList(capacity=) "
-                "or attach with nlist='n2'.")
+                "Cell capacity exceeded during the run (a cell held "
+                "more particles than planned). Increase "
+                "CellList(capacity=) / Cellwise(capacity=) or attach "
+                "with nlist='n2'.")
         steps = np.arange(start_step, start_step + n)
         eval_mask = steps % self.period == 0
         if self.train:

@@ -70,7 +70,12 @@ class NVT:
 
     def _thermo_half(self, state, dt):
         import dataclasses
-        dof = 3 * state.n_particles - 3
+        # slot-resident layouts carry ghost rows; they record the real
+        # degrees of freedom in thermostat['dof'] (md/slots.py). Ghosts
+        # have zero velocity, so the kinetic sum itself needs no mask.
+        dof = state.thermostat.get("dof")
+        if dof is None:
+            dof = 3 * state.n_particles - 3
         ke2 = jnp.sum(state.masses[:, None] * state.velocities ** 2)
         t_inst = ke2 / dof
         xi = state.thermostat["xi"]

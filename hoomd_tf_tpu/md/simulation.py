@@ -55,6 +55,8 @@ class Simulation:
         self.tfc = None         # attached tfcompute driver (or None)
         self.log = None         # thermo history (run(log_period=...))
         self._scan_cache = {}
+        self._layout = None     # cached SlotLayout (cellwise mode)
+        self._layout_key = None
         self._warm = False
 
     # ------------------------------------------------------------------
@@ -89,6 +91,7 @@ class Simulation:
         if set(current) != set(fresh):
             self.state = dataclasses.replace(self.state, thermostat=fresh)
         self._scan_cache.clear()
+        self._layout = None
 
     # ------------------------------------------------------------------
     def add_force(self, force):
@@ -105,6 +108,53 @@ class Simulation:
     # ------------------------------------------------------------------
     # neighbor list
     # ------------------------------------------------------------------
+    def _use_cellwise(self):
+        """Slot-resident ('cellwise') mode selected? (ops/cellwise.py)"""
+        from ..ops.cellwise import Cellwise
+        tfc = self.tfc
+        if tfc is None or tfc.nneighbor_cutoff <= 0:
+            return False
+        method = getattr(tfc, "nlist_method", None)
+        return method == "cellwise" or isinstance(method, Cellwise)
+
+    def _ensure_layout(self):
+        """Plan (once) and cache the slot-resident layout. The plan is
+        static geometry closed over by the compiled scan, so it must stay
+        identical across run() calls for the cache to be reusable;
+        capacity headroom (15% + 3 over measured occupancy) covers later
+        density fluctuations, and repack-time overflow is still detected
+        every step."""
+        from ..ops.cellwise import Cellwise, plan_cellwise
+        from .slots import SlotLayout
+        tfc = self.tfc
+        lengths = np.asarray(box_size(self.state.box))
+        lo = np.asarray(self.state.box[0])
+        key = (float(tfc.r_cut), self.state.n_particles, self.dt,
+               tuple(float(v) for v in lengths))
+        if self._layout is not None and self._layout_key == key:
+            return self._layout
+        method = getattr(tfc, "nlist_method", None)
+        config = method if isinstance(method, Cellwise) else None
+        # typical per-step drift for the planner's repack-frequency term
+        # (99th-percentile speed: the max is spiky and a single fast
+        # particle only triggers an occasional extra repack)
+        v = np.asarray(self.state.velocities)
+        vmag = np.sqrt((v * v).sum(-1)) if v.size else np.zeros(1)
+        drift = self.dt * float(np.percentile(vmag, 99)) \
+            if float(vmag.max()) > 0 else None
+        plan = plan_cellwise(
+            self.state.n_particles, lengths, tfc.r_cut, config=config,
+            positions=np.asarray(self.state.positions), lo=lo,
+            drift_per_step=drift)
+        if plan is None:
+            raise ValueError(
+                f"Box {lengths} too small for the cellwise mode at "
+                f"r_cut={tfc.r_cut} (needs >= 3 cells per axis); use "
+                "nlist='n2' instead")
+        self._layout = SlotLayout(plan, self.state.n_particles, lo)
+        self._layout_key = key
+        return self._layout
+
     def _make_nlist_builder(self):
         """Resolve the neighbor-list strategy into a ``build(state)``
         closure. The cell list needs static grid geometry, planned here from
@@ -193,6 +243,10 @@ class Simulation:
 
     def _build_nlist(self, state):
         """One-off neighbor build on the current state (host accessors)."""
+        if self._use_cellwise():
+            layout = self._ensure_layout()
+            slot_state, aux, _ = layout.pack_jit(state, ())
+            return layout.planes(slot_state, aux)
         return self._make_nlist_builder()(state)[0]
 
     # ------------------------------------------------------------------
@@ -209,9 +263,38 @@ class Simulation:
             w = w + wi
         return f, w
 
+    def _step_flags(self, log):
+        """Static per-run decisions that let the compiled step drop dead
+        weight from the scan carry:
+
+        - ``always_eval``: with ``period == 1`` the model runs every step,
+          so the period ``lax.cond`` and the persisted model-force carry
+          disappear (a cond re-writes every carried array each iteration
+          even on the pass-through branch -- measurable at 64k).
+        - ``needs_virial``: the ``[N, 3, 3]`` virial is only formed and
+          written back when something consumes it (thermo logging, a
+          virial-outputting model, or built-in forces); otherwise the
+          carried array stays loop-invariant and XLA aliases it in place.
+        - ``carry_mf`` / ``carry_mvir``: whether stale model forces /
+          virials must actually ride the carry (and be permuted through
+          cellwise repacks).
+        """
+        tfc = self.tfc
+        always_eval = tfc is None or tfc.period == 1
+        needs_virial = bool(log or self.forces or
+                            (tfc is not None and tfc.model.virial))
+        carry_mf = (tfc is not None and not tfc.train and not always_eval)
+        carry_mvir = carry_mf and needs_virial
+        return always_eval, needs_virial, carry_mf, carry_mvir
+
     def _make_step(self, n_extras, extras_shapes, nlist_builder=None,
-                   log=False):
-        """Build the scan body. Static configuration is closed over."""
+                   log=False, layout=None):
+        """Build the scan body. Static configuration is closed over.
+
+        :param layout: a :class:`.slots.SlotLayout` when the cellwise
+            (slot-resident) neighbor mode is active; the carried state is
+            then in slot order with an ``aux`` dict alongside.
+        """
         tfc = self.tfc
         model = tfc.model if tfc else None
         dt = self.dt
@@ -227,8 +310,15 @@ class Simulation:
             # v5e). The barrier pins the built nlist as a materialized
             # value. stop_gradient reflects the physics: neighbor
             # *membership* is piecewise constant.
-            nlist = jax.lax.optimization_barrier(
-                jax.lax.stop_gradient(nlist))
+            #
+            # The cellwise mode is the exact opposite case: its plane
+            # production is cheap elementwise math (rolls + subtraction),
+            # so rematerializing it into the model's forward/backward is
+            # the *point* -- the [n_slots, 27*cap] planes never hit HBM.
+            # Pinning them was measured 5x slower at 64k (ops/cellwise.py).
+            nlist = jax.lax.stop_gradient(nlist)
+            if layout is None:
+                nlist = jax.lax.optimization_barrier(nlist)
             inputs = [nlist, state.positions4, state.box]
             if with_labels:
                 inputs.append(labels)
@@ -359,63 +449,106 @@ class Simulation:
                 chunk_body, (mv, opt_state), (pos_c, nl_c, lab_c))
             return jnp.mean(losses), extras_c, mv, opt_state
 
+        always_eval, needs_virial, carry_mf, carry_mvir = \
+            self._step_flags(log)
+
         def step(carry, _):
-            state, mv, opt_state, model_forces, model_virial = carry
+            state, aux, mv, opt_state, model_forces, model_virial = carry
             state = integ.pre_force(state, dt)
-            # CG mapped positions write-back (reference precompute,
-            # simmodel.py:289-339) happens before the nlist build
-            if tfc is not None and tfc.map_enabled:
-                state = tfc.apply_mapping(state)
-            if tfc is not None and tfc.nneighbor_cutoff > 0:
-                nlist, cell_overflow = nlist_builder(state)
+            if layout is not None:
+                # ghosts must stay inert through any integrator substep
+                # (stochastic kicks add noise to every row)
+                state = layout.ghost_pin(state, aux)
+                # carried stale model forces must follow their particles
+                # through the repack permutation
+                perm_in = ((model_forces,) if carry_mf else ()) + \
+                    ((model_virial,) if carry_mvir else ())
+
+                def do_rebuild(args):
+                    st, ax, ex = layout.rebuild(args[0], args[1], args[2:])
+                    return (st, ax) + tuple(ex)
+
+                out = jax.lax.cond(
+                    layout.needs_rebuild(state, aux), do_rebuild,
+                    lambda args: args, (state, aux) + perm_in)
+                state, aux = out[0], out[1]
+                if carry_mf:
+                    model_forces = out[2]
+                if carry_mvir:
+                    model_virial = out[3]
+                nlist = layout.planes(state, aux)
+                cell_overflow = aux["overflow"]
             else:
-                nlist = jnp.zeros(
-                    (state.n_particles, 1, 4), dtype=state.positions.dtype)
-                cell_overflow = jnp.asarray(False)
+                # CG mapped positions write-back (reference precompute,
+                # simmodel.py:289-339) happens before the nlist build
+                if tfc is not None and tfc.map_enabled:
+                    state = tfc.apply_mapping(state)
+                if tfc is not None and tfc.nneighbor_cutoff > 0:
+                    nlist, cell_overflow = nlist_builder(state)
+                else:
+                    nlist = jnp.zeros(
+                        (state.n_particles, 1, 4),
+                        dtype=state.positions.dtype)
+                    cell_overflow = jnp.asarray(False)
 
             loss = jnp.asarray(0.0, dtype=state.positions.dtype)
             extras = tuple(
                 jnp.zeros(s, dtype=state.positions.dtype)
                 for s in extras_shapes)
             if tfc is not None:
-                recompute = (state.step % period) == 0
                 if not train:
-                    def do_eval(args):
-                        mv, mf, mvir = args
-                        f, w, ex, new_mv = eval_model(mv, state, nlist)
-                        return new_mv, f, w, ex
+                    if always_eval:
+                        f_now, w_now, extras, mv = eval_model(
+                            mv, state, nlist)
+                    else:
+                        recompute = (state.step % period) == 0
 
-                    def keep(args):
-                        mv, mf, mvir = args
-                        return mv, mf, mvir, extras
+                        def do_eval(args):
+                            mv, mf, mvir = args
+                            f, w, ex, new_mv = eval_model(mv, state, nlist)
+                            return (new_mv, f,
+                                    w if carry_mvir else mvir, ex)
 
-                    mv, model_forces, model_virial, extras = jax.lax.cond(
-                        recompute, do_eval, keep,
-                        (mv, model_forces, model_virial))
+                        def keep(args):
+                            mv, mf, mvir = args
+                            return mv, mf, mvir, extras
+
+                        mv, model_forces, model_virial, extras = \
+                            jax.lax.cond(recompute, do_eval, keep,
+                                         (mv, model_forces, model_virial))
+                        f_now, w_now = model_forces, model_virial
                     f_b, w_b = self._builtin_forces(state, nlist)
-                    net_f = f_b + model_forces
-                    net_w = w_b + model_virial
+                    net_f = f_b + f_now
+                    net_w = (w_b + w_now) if needs_virial else None
                 else:
                     # labels: selected reference forces, or all built-ins
                     f_ref, w_ref = self._builtin_forces(
                         state, nlist, subset=tfc.reference_forces or None)
-                    def do_train(args):
-                        mv, opt_state = args
-                        l, ex, new_mv, new_opt = train_model(
+                    if always_eval:
+                        loss, extras, mv, opt_state = train_model(
                             mv, opt_state, state, nlist, f_ref)
-                        return new_mv, new_opt, l, ex
+                    else:
+                        recompute = (state.step % period) == 0
 
-                    def keep(args):
-                        mv, opt_state = args
-                        return mv, opt_state, loss, extras
+                        def do_train(args):
+                            mv, opt_state = args
+                            l, ex, new_mv, new_opt = train_model(
+                                mv, opt_state, state, nlist, f_ref)
+                            return new_mv, new_opt, l, ex
 
-                    mv, opt_state, loss, extras = jax.lax.cond(
-                        recompute, do_train, keep, (mv, opt_state))
+                        def keep(args):
+                            mv, opt_state = args
+                            return mv, opt_state, loss, extras
+
+                        mv, opt_state, loss, extras = jax.lax.cond(
+                            recompute, do_train, keep, (mv, opt_state))
                     f_b, w_b = self._builtin_forces(state, nlist)
-                    net_f, net_w = f_b, w_b
+                    net_f = f_b
+                    net_w = w_b if needs_virial else None
             else:
                 f_b, w_b = self._builtin_forces(state, nlist)
-                net_f, net_w = f_b, w_b
+                net_f = f_b
+                net_w = w_b if needs_virial else None
 
             if tfc is not None and tfc.map_enabled:
                 # CG beads are virtual: they exert no direct force and are
@@ -424,14 +557,29 @@ class Simulation:
                 keep_rows = (jnp.arange(state.n_particles) <
                              tfc.model._map_i).astype(net_f.dtype)
                 net_f = net_f * keep_rows[:, None]
-            state = dataclasses.replace(state, forces=net_f, virial=net_w)
+            if layout is not None:
+                # ghost rows carry no force, energy or virial
+                valid = aux["valid"]
+                net_f = net_f * valid[:, None]
+                if needs_virial:
+                    net_w = net_w * valid[:, None, None]
+            if needs_virial:
+                state = dataclasses.replace(state, forces=net_f,
+                                            virial=net_w)
+            else:
+                # leave the carried virial loop-invariant (XLA aliases it
+                # in place instead of re-writing [N, 3, 3] every step)
+                state = dataclasses.replace(state, forces=net_f)
             state = integ.post_force(state, dt)
+            if layout is not None:
+                state = layout.ghost_pin(state, aux)
             state = dataclasses.replace(state, step=state.step + 1)
             thermo_y = (_thermo.thermo(state) if log else {})
             ys = ((loss, extras, cell_overflow, thermo_y)
                   if (train or n_extras)
                   else (loss, (), cell_overflow, thermo_y))
-            return (state, mv, opt_state, model_forces, model_virial), ys
+            return (state, aux, mv, opt_state, model_forces,
+                    model_virial), ys
 
         return step
 
@@ -454,6 +602,16 @@ class Simulation:
 
     def _warmup_impl(self):
         tfc = self.tfc
+        if self._use_cellwise():
+            # the model sees slot-order rows in cellwise mode
+            layout = self._ensure_layout()
+            slot_state, aux, _ = layout.pack_jit(self.state, ())
+            inputs = [layout.planes(slot_state, aux),
+                      slot_state.positions4, slot_state.box]
+            tfc.model.ensure_built(inputs, training=tfc.train)
+            out = _eval_silent(tfc.model, inputs, tfc.train)
+            extras = out[tfc.output_offset:]
+            return len(extras), tuple(tuple(e.shape) for e in extras)
         nlist = self._build_nlist(self.state)
         if tfc.batch_size:
             # batched: the model sees one particle chunk per call and the
@@ -492,15 +650,18 @@ class Simulation:
         tfc = self.tfc
         n_extras, extras_shapes = self._warmup() if tfc else (0, ())
         log = log_period is not None
+        layout = self._ensure_layout() if self._use_cellwise() else None
 
         cache_key = (n, n_extras, extras_shapes,
                      tfc.config_key if tfc else None,
-                     len(self.forces), log)
+                     len(self.forces), log,
+                     layout.plan if layout else None)
         if cache_key not in self._scan_cache:
             nlist_builder = (self._make_nlist_builder()
-                             if tfc and tfc.nneighbor_cutoff > 0 else None)
+                             if (tfc and tfc.nneighbor_cutoff > 0 and
+                                 layout is None) else None)
             step = self._make_step(n_extras, extras_shapes, nlist_builder,
-                                   log=log)
+                                   log=log, layout=layout)
 
             @jax.jit
             def scan_n(carry):
@@ -511,15 +672,40 @@ class Simulation:
         opt_state = tfc.ensure_opt_state(mv) if (tfc and tfc.train) else ()
         dtype = self.state.positions.dtype
         nparticles = self.state.n_particles
+        always_eval, needs_virial, carry_mf, carry_mvir = \
+            self._step_flags(log)
         # model forces persist across run() calls (the reference's staging
-        # buffer persists between period-gated evaluations)
-        mf0, mvir0 = (tfc.persisted_model_forces(nparticles, dtype)
-                      if tfc else
-                      (jnp.zeros((nparticles, 4), dtype=dtype),
-                       jnp.zeros((nparticles, 3, 3), dtype=dtype)))
-        carry = (self.state, mv, opt_state, mf0, mvir0)
-        (state, mv, opt_state, mf, mvir), ys = \
+        # buffer persists between period-gated evaluations); they only
+        # ride the carry when the period cond actually needs them
+        if carry_mf:
+            mf0, mvir0 = tfc.persisted_model_forces(nparticles, dtype)
+            if not carry_mvir:
+                mvir0 = jnp.zeros((0, 3, 3), dtype=dtype)
+        else:
+            mf0 = jnp.zeros((0, 4), dtype=dtype)
+            mvir0 = jnp.zeros((0, 3, 3), dtype=dtype)
+        if layout is not None:
+            to_pack = ((mf0,) if carry_mf else ()) + \
+                ((mvir0,) if carry_mvir else ())
+            start_state, aux0, packed = layout.pack_jit(
+                self.state, to_pack)
+            if carry_mf:
+                mf0 = packed[0]
+            if carry_mvir:
+                mvir0 = packed[1]
+        else:
+            start_state, aux0 = self.state, {}
+        carry = (start_state, aux0, mv, opt_state, mf0, mvir0)
+        (state, aux, mv, opt_state, mf, mvir), ys = \
             self._scan_cache[cache_key](carry)
+        if layout is not None:
+            to_unpack = ((mf,) if carry_mf else ()) + \
+                ((mvir,) if carry_mvir else ())
+            state, unpacked = layout.unpack_jit(state, aux, to_unpack)
+            if carry_mf:
+                mf = unpacked[0]
+            if carry_mvir:
+                mvir = unpacked[1]
         self.state = state
         if log:
             thermo_hist = ys[3]
@@ -535,7 +721,8 @@ class Simulation:
                             for k in entry}
         if tfc:
             set_state(tfc.model, mv)
-            tfc._model_forces, tfc._model_virial = mf, mvir
+            tfc._model_forces = mf if carry_mf else None
+            tfc._model_virial = mvir if carry_mvir else None
             if tfc.train:
                 tfc.opt_state = opt_state
             tfc.collect_outputs(np.asarray(state.step) - n, n, ys[:3])

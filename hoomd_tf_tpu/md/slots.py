@@ -1,0 +1,195 @@
+"""SlotLayout: the engine adapter for the slot-resident ("cellwise")
+neighbor mode (see :mod:`..ops.cellwise` for the design rationale).
+
+The :class:`..md.simulation.Simulation` step stays a single
+implementation for every neighbor mode; when a layout is active it
+threads a slot-layout :class:`.state.SimState` (rows = cell slots,
+ghosts parked at cell centers) plus a small ``aux`` dict through the
+scan instead of the particle-order state:
+
+- ``pack`` / ``unpack`` convert at ``run()`` boundaries (one scatter /
+  gather per array per run -- never inside the hot loop);
+- ``needs_rebuild`` + ``rebuild`` implement the Verlet-skin criterion as
+  a ``lax.cond`` inside the scan: both branches are compiled once, the
+  repack argsort only *executes* when the max drift since the last
+  repack exceeds ``skin / 2``;
+- ``ghost_pin`` keeps ghost slots inert under any integrator (zero
+  velocity, parked at the cell center) so stochastic kicks (Langevin /
+  Brownian noise) cannot move them;
+- ``mask_rows`` zeroes force/energy/virial rows of ghosts after the
+  model runs.
+
+The thermostat degrees of freedom are those of the *real* particles;
+``pack`` records them in ``state.thermostat['dof']``, which
+:class:`.integrators.NVT` and :func:`.thermo.temperature` honor.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..ops import cellwise as cw
+
+__all__ = ["SlotLayout"]
+
+
+class SlotLayout:
+    """Slot-resident layout for ``n_real`` particles under a
+    :class:`..ops.cellwise.CellwisePlan`.
+
+    :param plan: static geometry (grid, capacity, box lengths, r_cut).
+    :param n_real: number of real particles.
+    :param lo: box lower corner (concrete ``[3]``).
+    """
+
+    def __init__(self, plan, n_real, lo):
+        self.plan = plan
+        self.n = int(n_real)
+        self.lo = tuple(float(v) for v in lo)
+        # jitted run()-boundary converters (eager op-by-op dispatch is
+        # latency-bound through a remote TPU); cached on the layout so
+        # repeat runs hit the compile cache
+        import jax
+        self.pack_jit = jax.jit(self.pack)
+        self.unpack_jit = jax.jit(self.unpack)
+
+    # ------------------------------------------------------------------
+    def centers(self, dtype):
+        return cw.slot_cell_centers(self.plan, self.lo, dtype)
+
+    # ------------------------------------------------------------------
+    def pack(self, state, extra_rows=()):
+        """Particle-order ``SimState`` -> (slot-order state, aux, packed
+        extras). ``extra_rows`` are ``[n, ...]`` arrays permuted alongside
+        (e.g. persisted model forces)."""
+        plan = self.plan
+        n_slots = plan.n_slots
+        dtype = state.positions.dtype
+        valid_n = jnp.ones((self.n,), dtype=dtype)
+        order, new_slot, kept, overflow = cw.repack_order(
+            state.positions, valid_n, self.lo, plan)
+
+        def put(vals, base):
+            return base.at[new_slot].set(vals[order], mode="drop")
+
+        centers = self.centers(dtype)
+        positions = put(state.positions, centers)
+        velocities = put(state.velocities,
+                         jnp.zeros((n_slots, 3), dtype=dtype))
+        types = put(state.types, jnp.zeros((n_slots,), jnp.int32))
+        masses = put(state.masses, jnp.ones((n_slots,), dtype=dtype))
+        forces = put(state.forces, jnp.zeros((n_slots, 4), dtype=dtype))
+        virial = put(state.virial, jnp.zeros((n_slots, 3, 3), dtype=dtype))
+        valid = jnp.zeros((n_slots,), dtype=dtype).at[new_slot].set(
+            valid_n[order], mode="drop")
+        orig = jnp.full((n_slots,), self.n, jnp.int32).at[new_slot].set(
+            jnp.arange(self.n, dtype=jnp.int32)[order], mode="drop")
+        thermostat = dict(state.thermostat or {})
+        thermostat["dof"] = jnp.asarray(3 * self.n - 3, dtype=dtype)
+        slot_state = dataclasses.replace(
+            state, positions=positions, velocities=velocities, types=types,
+            masses=masses, forces=forces, virial=virial,
+            thermostat=thermostat)
+        aux = {"valid": valid, "orig": orig, "ref": positions,
+               "overflow": overflow}
+        packed = tuple(
+            put(e, jnp.zeros((n_slots,) + e.shape[1:], e.dtype))
+            for e in extra_rows)
+        return slot_state, aux, packed
+
+    # ------------------------------------------------------------------
+    def unpack(self, slot_state, aux, extra_rows=()):
+        """Slot-order state -> particle-order ``SimState`` (original
+        indexing restored; the layout-internal thermostat key removed)."""
+        orig = aux["orig"]  # ghost rows hold self.n -> dropped
+
+        def back(vals):
+            out = jnp.zeros((self.n,) + vals.shape[1:], vals.dtype)
+            return out.at[orig].set(vals, mode="drop")
+
+        thermostat = dict(slot_state.thermostat or {})
+        thermostat.pop("dof", None)
+        return dataclasses.replace(
+            slot_state,
+            positions=back(slot_state.positions),
+            velocities=back(slot_state.velocities),
+            types=back(slot_state.types),
+            masses=back(slot_state.masses),
+            forces=back(slot_state.forces),
+            virial=back(slot_state.virial),
+            thermostat=thermostat), tuple(back(e) for e in extra_rows)
+
+    # ------------------------------------------------------------------
+    def needs_rebuild(self, slot_state, aux):
+        """Verlet criterion: any particle drifted more than ``skin / 2``
+        since the last repack (ghosts are pinned, so they contribute 0)."""
+        plan = self.plan
+        dtype = slot_state.positions.dtype
+        d = slot_state.positions - aux["ref"]
+        lengths = jnp.asarray(plan.lengths, dtype=dtype)
+        d = d - jnp.round(d / lengths) * lengths
+        d2 = jnp.sum(d * d, axis=-1)
+        half_skin = max(plan.skin, 0.0) / 2.0
+        return jnp.max(d2) >= jnp.asarray((half_skin * 0.98) ** 2,
+                                          dtype=dtype)
+
+    # ------------------------------------------------------------------
+    def rebuild(self, slot_state, aux, extra_rows=()):
+        """Repack the slot assignment from current positions (runs inside
+        ``lax.cond``; all static shapes)."""
+        plan = self.plan
+        n_slots = plan.n_slots
+        dtype = slot_state.positions.dtype
+        order, new_slot, kept, overflow = cw.repack_order(
+            slot_state.positions, aux["valid"], self.lo, plan)
+
+        def put(vals, base):
+            return base.at[new_slot].set(vals[order], mode="drop")
+
+        centers = self.centers(dtype)
+        positions = put(slot_state.positions, centers)
+        velocities = put(slot_state.velocities,
+                         jnp.zeros((n_slots, 3), dtype=dtype))
+        types = put(slot_state.types, jnp.zeros((n_slots,), jnp.int32))
+        masses = put(slot_state.masses, jnp.ones((n_slots,), dtype=dtype))
+        # only valid rows survive repack_order (ghosts sort to the end and
+        # are dropped), so every scattered row is a real particle
+        valid = jnp.zeros((n_slots,), dtype=dtype).at[new_slot].set(
+            aux["valid"][order], mode="drop")
+        orig = jnp.full((n_slots,), self.n, jnp.int32).at[new_slot].set(
+            aux["orig"][order], mode="drop")
+        new_state = dataclasses.replace(
+            slot_state, positions=positions, velocities=velocities,
+            types=types, masses=masses)
+        new_aux = {"valid": valid, "orig": orig, "ref": positions,
+                   "overflow": jnp.logical_or(aux["overflow"], overflow)}
+        packed = tuple(
+            put(e, jnp.zeros((n_slots,) + e.shape[1:], e.dtype))
+            for e in extra_rows)
+        return new_state, new_aux, packed
+
+    # ------------------------------------------------------------------
+    def planes(self, slot_state, aux):
+        """Masked :class:`..ops.direct.NlistPlanes` for the current slot
+        positions (rolls; fully fusable, see ops/cellwise.py)."""
+        return cw.cellwise_planes(slot_state.positions, slot_state.types,
+                                  aux["valid"], self.plan)
+
+    # ------------------------------------------------------------------
+    def ghost_pin(self, slot_state, aux):
+        """Re-pin ghosts after an integrator substep: zero velocity,
+        parked at the cell center (stochastic integrators add noise to
+        every row; ghosts must not move)."""
+        dtype = slot_state.positions.dtype
+        valid = aux["valid"][:, None]
+        centers = self.centers(dtype)
+        return dataclasses.replace(
+            slot_state,
+            positions=jnp.where(valid > 0, slot_state.positions, centers),
+            velocities=slot_state.velocities * valid)
+
+    def mask_rows(self, forces4, virial, aux):
+        """Zero force/energy/virial rows of ghost slots."""
+        valid = aux["valid"]
+        return (forces4 * valid[:, None],
+                virial * valid[:, None, None])

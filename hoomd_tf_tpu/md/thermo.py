@@ -17,8 +17,13 @@ def kinetic_energy(state):
 
 
 def temperature(state):
-    """Instantaneous kinetic temperature, dof = 3N - 3 (zero net momentum)."""
-    dof = 3 * state.n_particles - 3
+    """Instantaneous kinetic temperature, dof = 3N - 3 (zero net momentum).
+
+    Slot-resident states carry ghost rows with zero velocity; their real
+    dof is recorded in ``thermostat['dof']`` (see md/slots.py)."""
+    dof = (state.thermostat or {}).get("dof")
+    if dof is None:
+        dof = 3 * state.n_particles - 3
     return 2.0 * kinetic_energy(state) / dof
 
 

@@ -5,6 +5,7 @@ from .forces import compute_nlist_forces, compute_positions_forces
 from .nlist import compute_nlist, nlist_from_positions
 from .cell_list import CellList, cell_list_nlist
 from .direct import NlistPlanes, direct_cell_planes
+from .cellwise import Cellwise, CellwisePlan, plan_cellwise, cellwise_planes
 from .rdf import compute_rdf
 
 __all__ = [
@@ -15,5 +16,6 @@ __all__ = [
     "compute_nlist", "nlist_from_positions",
     "CellList", "cell_list_nlist",
     "NlistPlanes", "direct_cell_planes",
+    "Cellwise", "CellwisePlan", "plan_cellwise", "cellwise_planes",
     "compute_rdf",
 ]

@@ -1,0 +1,314 @@
+"""Slot-resident ("cellwise") neighbor machinery -- the fastest neighbor
+strategy on TPU.
+
+Every other build in this package keeps the simulation state in particle
+order and pays, per step, to convert between particle order and cell
+order: binning scatters (~1e8 elem/s on v5e), a 27-cell stencil row
+gather, and a per-particle candidate row gather. Measured at 64k
+particles those conversions are ~9 of 11 ms/step -- the physics is ~2 ms
+(see docs/performance.md).
+
+The cellwise mode deletes the conversions instead of optimizing them: the
+*state itself* lives in cell-slot layout. Arrays have ``n_slots =
+n_cells * capacity`` rows; row ``cell * capacity + k`` holds the k-th
+particle of that cell, and surplus rows are "ghosts" (``valid == 0``)
+parked at their cell center with zero velocity and zero force. Then,
+per MD step:
+
+- candidate planes come from 27 static ``jnp.roll`` calls on the
+  ``[nz, ny, nx, cap]`` view -- pure contiguous data movement, no gather;
+- the model consumes ``NlistPlanes`` rows that are *already* aligned with
+  the state rows -- no per-particle gather, and forces land directly in
+  integrator layout;
+- plane production is cheap elementwise math, so it is deliberately NOT
+  pinned with an optimization barrier: XLA fuses (rematerializes) it into
+  the model's forward and backward passes and the ``[n_slots, 27*cap]``
+  planes never hit HBM. (Pinning them was measured 5x slower at 64k.)
+
+Between rebuilds the slot assignment is *fixed*: the cell edge carries a
+skin margin over ``r_cut`` (Verlet criterion), positions drift within
+their slots, and a ``lax.cond``-gated repack re-sorts the state only when
+``2 * max_drift >= min(edge) - r_cut``. The distance filter always uses
+true positions, so the neighbor planes stay exact for ``r_cut``
+regardless of the skin.
+
+This is the TPU-native replacement for the reference's HOOMD cell list +
+CSR reshape kernel (``TensorflowCompute.cu:80-209``), redesigned around
+the hardware: TPUs stream contiguous tiles and hate scattered element
+access, so the winning move is to make the hot loop gather-free rather
+than to accelerate the gathers.
+"""
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cell_list import CellList
+from .direct import NlistPlanes
+
+__all__ = ["Cellwise", "CellwisePlan", "plan_cellwise", "cellwise_planes",
+           "repack_order", "slot_cell_centers", "bin_cells"]
+
+
+class Cellwise(CellList):
+    """Configuration selecting the slot-resident neighbor mode
+    (``tfc.attach(sim, nlist=Cellwise(...))``; the bare string
+    ``nlist='cellwise'`` uses the defaults).
+
+    :param capacity: slots per cell (default: measured occupancy + 15%
+        + 3 margin, grid chosen to minimize pair work).
+    :param skin: *minimum* Verlet margin; the planner may pick a larger
+        one when a coarser grid is cheaper. Larger skins lengthen the
+        repack interval but widen the candidate planes.
+    """
+
+# 27-cell stencil offsets in (ox, oy, oz) order
+_OFFS = [(ox, oy, oz) for oz in (-1, 0, 1) for oy in (-1, 0, 1)
+         for ox in (-1, 0, 1)]
+
+
+@dataclasses.dataclass(frozen=True)
+class CellwisePlan:
+    """Static geometry of the slot-resident layout (hashable; closed over
+    by the compiled step).
+
+    :param grid: cells per axis ``(nx, ny, nz)``.
+    :param capacity: slots per cell.
+    :param lengths: concrete box lengths ``(Lx, Ly, Lz)``.
+    :param r_cut: cutoff radius the planes are exact for.
+    """
+    grid: tuple
+    capacity: int
+    lengths: tuple
+    r_cut: float
+
+    @property
+    def n_cells(self):
+        nx, ny, nz = self.grid
+        return nx * ny * nz
+
+    @property
+    def n_slots(self):
+        return self.n_cells * self.capacity
+
+    @property
+    def width(self):
+        """Candidate-plane width ``C = 27 * capacity``."""
+        return 27 * self.capacity
+
+    @property
+    def edges(self):
+        return tuple(L / d for L, d in zip(self.lengths, self.grid))
+
+    @property
+    def skin(self):
+        """Verlet margin: the slot assignment stays valid while the
+        largest displacement since the last repack is below ``skin / 2``."""
+        return min(self.edges) - self.r_cut
+
+
+def _measured_occupancy(positions, lo, lengths, dims):
+    """Max and mean particles-per-cell for concrete positions (host)."""
+    pos = np.asarray(positions)[:, :3].astype(np.float64)
+    lengths = np.asarray(lengths, dtype=np.float64)
+    frac = (pos - np.asarray(lo)) / lengths
+    frac = frac - np.floor(frac)
+    dims = np.asarray(dims)
+    xyz = np.minimum((frac * dims).astype(np.int64), dims - 1)
+    cid = xyz[:, 0] + dims[0] * (xyz[:, 1] + dims[1] * xyz[:, 2])
+    counts = np.bincount(cid, minlength=int(np.prod(dims)))
+    return int(counts.max()), float(counts.mean())
+
+
+# Measured on TPU v5e (docs/performance.md): one fused pair lane costs
+# ~25 ps (forward + vjp of an LJ-like model), one slot of repack costs
+# ~100 ns (argsort + the permutation scatters). Only the ~1:4000 ratio
+# matters -- it trades candidate-plane width against repack frequency.
+_PAIR_LANE_COST = 25e-12
+_REPACK_SLOT_COST = 100e-9
+
+
+def plan_cellwise(n, box_lengths, r_cut, config=None, positions=None,
+                  lo=None, drift_per_step=None):
+    """Choose ``(grid, capacity)`` minimizing amortized per-step cost.
+
+    The fused pair loop costs ``27 * n_cells * capacity**2`` lanes;
+    *larger* cells often win because per-cell occupancy fluctuations
+    (which set the capacity padding) average out AND the bigger skin
+    stretches the repack interval. The search scans cell-edge candidates
+    from ``r_cut`` upward, sizes the capacity from the measured occupancy
+    of ``positions`` plus an equilibrium-fluctuation estimate
+    (repack-time overflow is still detected at runtime), and picks the
+    grid minimizing ``pair_work + repack_cost / repack_interval`` with
+    the interval from the Verlet criterion at ``drift_per_step``.
+
+    :param config: an optional :class:`.cell_list.CellList`; its
+        ``capacity`` overrides the occupancy estimate and its ``skin`` is
+        a *minimum* skin for the grid.
+    :param drift_per_step: typical per-step particle displacement (the
+        engine passes ``dt * |v|_p99``); without it the rebuild term is
+        dropped and the cheapest pair loop wins.
+    :returns: a :class:`CellwisePlan`, or ``None`` if no valid grid (>= 3
+        cells per axis) exists.
+    """
+    from .cell_list import CellList
+    config = config if isinstance(config, CellList) else CellList()
+    lengths = np.asarray(box_lengths, dtype=np.float64)
+    if lo is None:
+        lo = -lengths / 2.0
+    min_edge = r_cut + max(config.skin, 0.0)
+    best = None
+    for scale in np.linspace(1.0, 1.8, 9):
+        dims = tuple(int(math.floor(L / (min_edge * scale)))
+                     for L in lengths)
+        if any(d < 3 for d in dims):
+            continue
+        edges = [L / d for L, d in zip(lengths, dims)]
+        if min(edges) < min_edge:
+            continue
+        n_cells_d = float(np.prod(dims))
+        mean = n / n_cells_d
+        # equilibrium occupancy fluctuations: the max over n_cells cells of
+        # a (sub-Poisson -- repulsive cores give S(0) < 1, ~0.6 is a safe
+        # factor for dense liquids) count sits near
+        # mean + sqrt(2 ln n_cells) * sqrt(0.6 * mean). Structured initial
+        # conditions (lattices) can exceed the statistical estimate, so the
+        # measured t=0 max is a floor. Overflow is still detected at every
+        # repack and surfaced as an error.
+        c = math.sqrt(2.0 * math.log(max(n_cells_d, 2.0)))
+        est = int(math.ceil(mean + c * math.sqrt(0.6 * max(mean, 1.0))))
+        if config.capacity is not None:
+            cap = int(config.capacity)
+        elif positions is not None:
+            occ_max, _ = _measured_occupancy(positions, lo, lengths, dims)
+            cap = max(occ_max, est) + 3
+        else:
+            cap = est + 4
+        n_cells = int(np.prod(dims))
+        skin = min(edges) - r_cut
+        cost = 27 * n_cells * cap * cap * _PAIR_LANE_COST
+        if drift_per_step and drift_per_step > 0:
+            interval = max(1.0, (skin * 0.98 / 2.0) / drift_per_step)
+            cost += n_cells * cap * _REPACK_SLOT_COST / interval
+        key = (cost, -skin)
+        if best is None or key < best[0]:
+            best = (key, CellwisePlan(grid=dims, capacity=cap,
+                                      lengths=tuple(float(L)
+                                                    for L in lengths),
+                                      r_cut=float(r_cut)))
+    return best[1] if best else None
+
+
+def slot_cell_centers(plan, lo, dtype=jnp.float32):
+    """``[n_slots, 3]`` cell-center coordinates -- the parking spot for
+    ghost slots (safely inside the box: min-image math never sees a far
+    sentinel, and position wrapping is a fixed point there)."""
+    nx, ny, nz = plan.grid
+    cap = plan.capacity
+    ex, ey, ez = plan.edges
+    cell = jnp.arange(plan.n_slots) // cap
+    cx = (cell % nx).astype(dtype)
+    cy = ((cell // nx) % ny).astype(dtype)
+    cz = (cell // (nx * ny)).astype(dtype)
+    lo = jnp.asarray(lo, dtype=dtype)
+    return jnp.stack([lo[0] + (cx + 0.5) * ex,
+                      lo[1] + (cy + 0.5) * ey,
+                      lo[2] + (cz + 0.5) * ez], axis=-1)
+
+
+def bin_cells(pos3, lo, plan):
+    """Flat cell id per row (x-minor / z-major layout, matching the
+    ``[nz, ny, nx, cap]`` slot view)."""
+    dtype = pos3.dtype
+    lengths = jnp.asarray(plan.lengths, dtype=dtype)
+    dims = jnp.asarray(plan.grid, dtype=jnp.int32)
+    frac = (pos3 - jnp.asarray(lo, dtype=dtype)) / lengths
+    frac = frac - jnp.floor(frac)
+    xyz = jnp.minimum((frac * dims.astype(dtype)).astype(jnp.int32),
+                      dims - 1)
+    nx, ny, _ = plan.grid
+    return xyz[:, 0] + nx * (xyz[:, 1] + ny * xyz[:, 2])
+
+
+def _roll27(plane, plan):
+    """``[n_slots]`` plane -> ``[n_cells, 27*cap]`` candidate rows via 27
+    static rolls of the ``[nz, ny, nx, cap]`` view. A roll is a pair of
+    contiguous slices (no gather); XLA fuses the stack into consumers."""
+    nx, ny, nz = plan.grid
+    cap = plan.capacity
+    a = plane.reshape(nz, ny, nx, cap)
+    outs = [jnp.roll(a, shift=(-oz, -oy, -ox), axis=(0, 1, 2))
+            for (ox, oy, oz) in _OFFS]
+    return jnp.stack(outs, axis=3).reshape(plan.n_cells, plan.width)
+
+
+def cellwise_planes(positions, types, valid, plan):
+    """Masked candidate planes for slot-resident state.
+
+    :param positions: ``[n_slots, 3]`` slot positions (ghosts at centers).
+    :param types: ``[n_slots]`` integer types (ghosts 0).
+    :param valid: ``[n_slots]`` 1.0 for real rows, 0.0 for ghosts.
+    :returns: :class:`.direct.NlistPlanes` with ``[n_slots, 27*cap]``
+        components; ghost *rows* and ghost *candidates* are exactly zero,
+        like the padded slots of the packed nlist.
+    """
+    dtype = positions.dtype
+    n_cells, cap, C = plan.n_cells, plan.capacity, plan.width
+    rc2 = plan.r_cut * plan.r_cut
+    px, py, pz = positions[:, 0], positions[:, 1], positions[:, 2]
+    tt = types.astype(dtype)
+    gx, gy, gz = _roll27(px, plan), _roll27(py, plan), _roll27(pz, plan)
+    gt, gv = _roll27(tt, plan), _roll27(valid, plan)
+
+    def mi(d, L):
+        return d - jnp.round(d / L) * L
+
+    Lx, Ly, Lz = (jnp.asarray(v, dtype=dtype) for v in plan.lengths)
+    ddx = mi(gx.reshape(n_cells, 1, C) - px.reshape(n_cells, cap, 1), Lx)
+    ddy = mi(gy.reshape(n_cells, 1, C) - py.reshape(n_cells, cap, 1), Ly)
+    ddz = mi(gz.reshape(n_cells, 1, C) - pz.reshape(n_cells, cap, 1), Lz)
+    d2 = ddx * ddx + ddy * ddy + ddz * ddz
+    ok = ((d2 <= rc2) & (d2 >= 25e-8) &
+          (gv.reshape(n_cells, 1, C) > 0) &
+          (valid.reshape(n_cells, cap, 1) > 0))
+    zero = jnp.zeros((), dtype=dtype)
+    n_slots = plan.n_slots
+
+    def sel(d):
+        return jnp.where(ok, d, zero).reshape(n_slots, C)
+
+    return NlistPlanes(
+        dx=sel(ddx), dy=sel(ddy), dz=sel(ddz),
+        type=jnp.where(ok, gt.reshape(n_cells, 1, C),
+                       zero).reshape(n_slots, C))
+
+
+def repack_order(positions, valid, lo, plan):
+    """Compute the slot permutation for a rebuild.
+
+    :returns: ``(order, new_slot, kept, overflow)`` where row ``i`` of the
+        repacked layout comes from ``old[order[i]]``... more precisely:
+        ``new[new_slot[j]] = old[order[j]]`` for each sorted row ``j`` with
+        ``kept[j]`` true; rows not written keep their ghost defaults.
+        ``overflow`` is True when a cell exceeded capacity (its surplus
+        particles would be dropped -- the engine surfaces this as an
+        error, like ``check_nlist``).
+    """
+    n_slots, cap = plan.n_slots, plan.capacity
+    n_cells = plan.n_cells
+    rows = positions.shape[0]  # n_slots for a rebuild, n for initial pack
+    cell = bin_cells(positions, lo, plan)
+    key = jnp.where(valid > 0, cell, n_cells)  # ghosts sort to the end
+    order = jnp.argsort(key)
+    sk = key[order]
+    starts = jnp.searchsorted(sk, jnp.arange(n_cells), side="left")
+    rank = jnp.arange(rows) - starts[jnp.minimum(sk, n_cells - 1)]
+    real = sk < n_cells
+    overflow = jnp.any(real & (rank >= cap))
+    kept = real & (rank < cap)
+    new_slot = jnp.where(kept, sk * cap + jnp.minimum(rank, cap - 1),
+                         n_slots)  # out-of-range -> dropped by the scatter
+    return order, new_slot, kept, overflow

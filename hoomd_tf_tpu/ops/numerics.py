@@ -71,10 +71,18 @@ def nlist_rinv(nlist):
     d = delta / 3 / 10
     from .direct import NlistPlanes
     if isinstance(nlist, NlistPlanes):
-        r = jnp.sqrt((nlist.dx + d) ** 2 + (nlist.dy + d) ** 2 +
-                     (nlist.dz + d) ** 2)
-    else:
-        r = safe_norm(nlist[..., :3], axis=-1, delta=d)
+        # planes are this framework's own form (no reference semantics to
+        # preserve), so use the cheaper fused rsqrt instead of sqrt+divide
+        # -- this sits on the innermost [rows, 27*cap] hot loop of the
+        # cellwise mode. Zero rows still yield exactly zero with zero
+        # gradient (double-where).
+        import jax
+        r2 = ((nlist.dx + d) ** 2 + (nlist.dy + d) ** 2 +
+              (nlist.dz + d) ** 2)
+        good = r2 > delta * delta
+        safe_r2 = jnp.where(good, r2, jnp.ones_like(r2))
+        return jnp.where(good, jax.lax.rsqrt(safe_r2), jnp.zeros_like(r2))
+    r = safe_norm(nlist[..., :3], axis=-1, delta=d)
     # double-where so the gradient of the untaken branch is cut
     safe_r = jnp.where(r > delta, r, jnp.ones_like(r))
     return jnp.where(r > delta, 1.0 / (safe_r + delta), jnp.zeros_like(r))

@@ -1,0 +1,296 @@
+"""Slot-resident (cellwise) neighbor mode: plan, plane correctness vs the
+O(N^2) oracle, trajectory parity, rebuilds, overflow, NVT dof, training.
+
+Reference bar: the cell-list path must match the dense path exactly --
+the analog of the reference's MPI-decomposition force-match test
+(`test_mpi_tensorflow.py:57-79`: same forces under any decomposition).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import hoomd_tf_tpu as htf
+from hoomd_tf_tpu.ops import cellwise as cw
+from hoomd_tf_tpu.md.slots import SlotLayout
+import zoo
+
+
+def fluid_sim(n=512, density=0.25, seed=0, integrator=None, kT_init=1.0,
+              jitter=0.2):
+    """Jittered lattice with *bounded* jitter: unbounded Gaussian jitter
+    creates deep LJ overlaps (|F| ~ 1e5) whose chaos amplifies f32
+    rounding noise to full trajectory decorrelation within ~10 steps,
+    which would make any two bitwise-different-but-correct force paths
+    impossible to compare."""
+    sim = htf.Simulation(dt=0.005,
+                         integrator=integrator or htf.md.NVE(), seed=seed)
+    sim.init_lattice(n, density=density, kT_init=kT_init)
+    rng = np.random.RandomState(seed)
+    sim.state = dataclasses.replace(
+        sim.state, positions=sim.state.positions +
+        jitter * jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32)))
+    return sim
+
+
+class LJ(htf.SimModel):
+    def compute(self, nlist, positions, box):
+        rinv = htf.nlist_rinv(nlist)
+        inv_r6 = rinv ** 6
+        p_energy = 4.0 / 2.0 * (inv_r6 * inv_r6 - inv_r6)
+        energy = jnp.sum(p_energy, axis=1)
+        return htf.compute_nlist_forces(nlist, energy)
+
+
+class TrainablePlanes(htf.SimModel):
+    """Trainable LJ written against the planes-compatible helpers (the
+    cellwise mode hands the model NlistPlanes, not a packed array)."""
+
+    def setup(self):
+        self.lj = zoo.LJLayer(1.0, 1.0)
+
+    def compute(self, nlist, positions, box):
+        rinv = htf.nlist_rinv(nlist)
+        r = htf.divide_no_nan(1.0, rinv)
+        energy = jnp.sum(self.lj(r), axis=1)
+        return htf.compute_nlist_forces(nlist, energy)
+
+
+def assert_wrapped_close(a, b, lengths, atol):
+    """Compare positions modulo the periodic box (a trajectory that ends
+    epsilon before a boundary in one run and epsilon after it in the other
+    differs by ~L in raw coordinates)."""
+    d = np.asarray(a) - np.asarray(b)
+    L = np.asarray(lengths)
+    d = d - np.round(d / L) * L
+    np.testing.assert_allclose(d, np.zeros_like(d), atol=atol)
+
+
+class TestPlan:
+    def test_plan_basics(self):
+        plan = cw.plan_cellwise(512, [12.0, 12.0, 12.0], 3.0)
+        assert plan is not None
+        assert all(d >= 3 for d in plan.grid)
+        assert min(plan.edges) >= 3.0
+        assert plan.n_slots == plan.n_cells * plan.capacity
+        assert plan.width == 27 * plan.capacity
+        assert plan.skin >= 0
+
+    def test_plan_too_small(self):
+        assert cw.plan_cellwise(8, [5.0, 5.0, 5.0], 3.0) is None
+
+    def test_plan_honors_config(self):
+        cfg = htf.Cellwise(capacity=11, skin=0.5)
+        plan = cw.plan_cellwise(512, [24.0, 24.0, 24.0], 3.0, config=cfg)
+        assert plan.capacity == 11
+        assert min(plan.edges) >= 3.5
+
+    def test_plan_minimizes_work(self):
+        """With measured positions the planner prefers the grid with the
+        least pair work, not just the finest grid."""
+        rng = np.random.RandomState(0)
+        pos = rng.uniform(-12, 12, size=(2000, 3)).astype(np.float32)
+        plan = cw.plan_cellwise(2000, [24.0] * 3, 3.0, positions=pos)
+        assert plan is not None
+        work = 27 * plan.n_cells * plan.capacity ** 2
+        # the finest grid (floor(24/3) = 8 cells/axis) is one candidate;
+        # whatever was picked must be at least as cheap as it
+        occ_max, _ = cw._measured_occupancy(pos, [-12.0] * 3, [24.0] * 3,
+                                            (8, 8, 8))
+        fine_cap = occ_max + max(3, int(np.ceil(0.15 * occ_max)))
+        assert work <= 27 * 8 ** 3 * fine_cap ** 2
+
+
+class TestPlanesCorrectness:
+    def test_planes_match_oracle(self):
+        """Per-particle neighbor distance multisets from the cellwise
+        planes equal the dense O(N^2) oracle's."""
+        n, r_cut = 256, 3.0
+        sim = fluid_sim(n=n, density=0.3)
+        state = sim.state
+        lengths = np.asarray(htf.box_size(state.box))
+        lo = np.asarray(state.box[0])
+        plan = cw.plan_cellwise(n, lengths, r_cut,
+                                positions=np.asarray(state.positions),
+                                lo=lo)
+        layout = SlotLayout(plan, n, lo)
+        slot_state, aux, _ = layout.pack(state)
+        planes = layout.planes(slot_state, aux)
+        # oracle: dense nlist with plenty of neighbor room
+        nl = htf.compute_nlist(state.positions4, r_cut, 128,
+                               lengths, sorted=True, return_types=True)
+        r_oracle = np.asarray(jnp.linalg.norm(nl[:, :, :3], axis=-1))
+        r2p = np.asarray(planes.r2())
+        orig = np.asarray(aux["orig"])
+        for s in range(plan.n_slots):
+            i = orig[s]
+            if i >= n:
+                assert not np.any(r2p[s] > 0)  # ghost rows all zero
+                continue
+            mine = np.sort(np.sqrt(r2p[s][r2p[s] > 0]))
+            ref = np.sort(r_oracle[i][r_oracle[i] > 0])
+            np.testing.assert_allclose(mine, ref, rtol=1e-5, atol=1e-5)
+
+    def test_pack_unpack_roundtrip(self):
+        n = 128
+        sim = fluid_sim(n=n, density=0.3, kT_init=1.0)
+        state = sim.state
+        lengths = np.asarray(htf.box_size(state.box))
+        lo = np.asarray(state.box[0])
+        plan = cw.plan_cellwise(n, lengths, 2.0,
+                                positions=np.asarray(state.positions),
+                                lo=lo)
+        layout = SlotLayout(plan, n, lo)
+        extra = jnp.arange(n * 4, dtype=jnp.float32).reshape(n, 4)
+        slot_state, aux, (pex,) = layout.pack(state, (extra,))
+        # ghosts parked + inert
+        valid = np.asarray(aux["valid"])
+        sp = np.asarray(slot_state.positions)
+        sv = np.asarray(slot_state.velocities)
+        centers = np.asarray(layout.centers(jnp.float32))
+        assert np.all(sv[valid == 0] == 0)
+        np.testing.assert_allclose(sp[valid == 0], centers[valid == 0])
+        back, (bex,) = layout.unpack(slot_state, aux, (pex,))
+        np.testing.assert_allclose(np.asarray(back.positions),
+                                   np.asarray(state.positions))
+        np.testing.assert_allclose(np.asarray(back.velocities),
+                                   np.asarray(state.velocities))
+        np.testing.assert_array_equal(np.asarray(back.types),
+                                      np.asarray(state.types))
+        np.testing.assert_allclose(np.asarray(bex), np.asarray(extra))
+        assert "dof" not in back.thermostat
+
+
+class TestSimulationParity:
+    def test_forces_match_n2_one_step(self):
+        n = 256
+        ref = fluid_sim(n=n)
+        cwse = fluid_sim(n=n)
+        m1, m2 = LJ(64), LJ(64)
+        htf.tfcompute(m1).attach(ref, r_cut=3.0, nlist="n2")
+        htf.tfcompute(m2).attach(cwse, r_cut=3.0, nlist="cellwise")
+        ref.run(1)
+        cwse.run(1)
+        np.testing.assert_allclose(np.asarray(cwse.state.forces),
+                                   np.asarray(ref.state.forces),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_trajectory_parity_with_rebuilds(self):
+        """Multi-step NVE parity vs the dense path, crossing at least one
+        repack (the analog of the reference's exact-match-under-
+        decomposition bar, test_mpi_tensorflow.py:57-79)."""
+        n = 256
+        ref = fluid_sim(n=n, kT_init=0.8, seed=3)
+        cwse = fluid_sim(n=n, kT_init=0.8, seed=3)
+        htf.tfcompute(LJ(64)).attach(ref, r_cut=2.5, nlist="n2")
+        tfc = htf.tfcompute(LJ(64))
+        tfc.attach(cwse, r_cut=2.5,
+                   nlist=htf.Cellwise(skin=0.3))
+        ref.run(25)
+        cwse.run(25)
+        assert_wrapped_close(cwse.state.positions, ref.state.positions,
+                             htf.box_size(ref.state.box), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(cwse.state.velocities),
+                                   np.asarray(ref.state.velocities),
+                                   rtol=1e-2, atol=2e-3)
+
+    def test_nvt_temperature_dof(self):
+        """NVT thermostat must count only real degrees of freedom (ghost
+        rows would otherwise dilute the temperature)."""
+        n = 512
+        sim = fluid_sim(n=n, integrator=htf.md.NVT(kT=1.1, tau=0.5),
+                        kT_init=1.1, jitter=0.1)
+        htf.tfcompute(LJ(48)).attach(sim, r_cut=2.5, nlist="cellwise")
+        sim.run(900)
+        t = sim.thermo()["temperature"]
+        # without the thermostat['dof'] fix the ghost rows dilute dof by
+        # the slots/N ratio (~2x here) and T settles far from the target
+        assert abs(t - 1.1) < 0.2, t
+
+    def test_langevin_ghosts_inert(self):
+        n = 256
+        sim = fluid_sim(n=n, integrator=htf.md.Langevin(kT=1.0, gamma=1.0),
+                        kT_init=1.0)
+        htf.tfcompute(LJ(48)).attach(sim, r_cut=2.5, nlist="cellwise")
+        sim.run(20)
+        assert np.all(np.isfinite(np.asarray(sim.state.positions)))
+        # velocities stay thermal, not inflated by phantom rows
+        t = sim.thermo()["temperature"]
+        assert 0.3 < t < 3.0, t
+
+    def test_thermo_log_matches_n2(self):
+        n = 256
+        ref = fluid_sim(n=n, kT_init=0.7, seed=5)
+        cwse = fluid_sim(n=n, kT_init=0.7, seed=5)
+        htf.tfcompute(LJ(64)).attach(ref, r_cut=2.5, nlist="n2")
+        htf.tfcompute(LJ(64)).attach(cwse, r_cut=2.5, nlist="cellwise")
+        ref.run(6, log_period=2)
+        cwse.run(6, log_period=2)
+        for k in ("kinetic_energy", "potential_energy", "temperature",
+                  "pressure"):
+            np.testing.assert_allclose(cwse.log[k], ref.log[k],
+                                       rtol=5e-4, atol=1e-4,
+                                       err_msg=k)
+
+    def test_overflow_raises(self):
+        n = 256
+        sim = fluid_sim(n=n)
+        tfc = htf.tfcompute(LJ(48))
+        tfc.attach(sim, r_cut=2.5, nlist=htf.Cellwise(capacity=1))
+        with pytest.raises(ValueError, match="capacity"):
+            sim.run(2)
+
+    def test_incompatible_with_batching(self):
+        sim = fluid_sim(n=256)
+        tfc = htf.tfcompute(LJ(48))
+        with pytest.raises(ValueError, match="incompatible"):
+            tfc.attach(sim, r_cut=2.5, nlist="cellwise", batch_size=64)
+
+    def test_get_nlist_array(self):
+        sim = fluid_sim(n=256)
+        tfc = htf.tfcompute(LJ(48))
+        tfc.attach(sim, r_cut=2.5, nlist="cellwise")
+        sim.run(1)
+        nl = tfc.get_nlist_array()
+        assert nl.ndim == 3 and nl.shape[-1] == 4
+        layout = sim._ensure_layout()
+        assert nl.shape[0] == layout.plan.n_slots
+
+    def test_model_forces_persist_through_period(self):
+        """period > 1: stale model forces follow their particles through
+        repacks (same physics as nlist='n2')."""
+        n = 256
+        ref = fluid_sim(n=n, kT_init=0.8, seed=7)
+        cwse = fluid_sim(n=n, kT_init=0.8, seed=7)
+        htf.tfcompute(LJ(64)).attach(ref, r_cut=2.5, nlist="n2", period=3)
+        htf.tfcompute(LJ(64)).attach(cwse, r_cut=2.5,
+                                     nlist=htf.Cellwise(skin=0.3),
+                                     period=3)
+        ref.run(20)
+        cwse.run(20)
+        assert_wrapped_close(cwse.state.positions, ref.state.positions,
+                             htf.box_size(ref.state.box), atol=2e-3)
+
+
+class TestTraining:
+    def test_online_training_runs(self):
+        """hoomd2tf (training) mode in cellwise: loss decreases while the
+        built-in LJ drives the dynamics."""
+        n = 256
+        sim = fluid_sim(n=n, kT_init=0.8,
+                        integrator=htf.md.Langevin(kT=0.8, gamma=1.0))
+        lj = sim.add_force(htf.md.LennardJones(epsilon=1.0, sigma=1.0,
+                                               r_cut=2.5))
+        model = TrainablePlanes(48, output_forces=False)
+        model.lj.w.assign(jnp.asarray([0.6, 1.3]))
+        model.compile(optimizer="adam", loss="mse", learning_rate=5e-2)
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=2.5, nlist="cellwise", train=True)
+        tfc.set_reference_forces(lj)
+        sim.run(60)
+        losses = tfc.loss_history
+        assert len(losses) == 60
+        assert np.mean(losses[-10:]) < np.mean(losses[:10])
