@@ -69,7 +69,24 @@ class tfcompute:
             raise RuntimeError("Must initialize the simulation first")
         self.sim = sim
         self.nlist_method = nlist
-        self.r_cut = float(r_cut)
+        # r_cut: scalar, or an [ntypes, ntypes] per-type-pair matrix with
+        # negative entries meaning "never neighbors" (reference parity:
+        # tensorflowcompute.py:284-305 rcut()). The scalar used for cell
+        # planning is the matrix max; the per-pair filter applies in every
+        # neighbor build.
+        r_arr = np.asarray(r_cut, dtype=np.float64)
+        if r_arr.ndim == 0:
+            self.r_cut = float(r_arr)
+            self.r_cut_matrix = None
+        elif r_arr.ndim == 2 and r_arr.shape[0] == r_arr.shape[1]:
+            self.r_cut_matrix = r_arr.astype(np.float32)
+            pos_entries = r_arr[r_arr > 0]
+            self.r_cut = float(pos_entries.max()) if pos_entries.size \
+                else 0.0
+        else:
+            raise ValueError(
+                f"r_cut must be a scalar or square [ntypes, ntypes] "
+                f"matrix, got shape {r_arr.shape}")
         self.period = int(period)
         self.batch_size = 0 if batch_size is None else int(batch_size)
         self.train = bool(train)
@@ -110,6 +127,19 @@ class tfcompute:
             raise ValueError("Must provide an r_cut if you have "
                              "nneighbor_cutoff > 0")
 
+        if (self.map_enabled and self.r_cut_matrix is None and
+                self.nneighbor_cutoff > 0):
+            # mapped nlist: AA and CG bead types never neighbor each other
+            # -- synthesize the reference's rcut() matrix (negative for
+            # AA<->CG pairs, tensorflowcompute.py:284-305) so every build
+            # path applies the exclusion uniformly
+            ntypes = int(np.max(np.asarray(sim.state.types))) + 1
+            k = self._map_typeid_start
+            m = np.full((ntypes, ntypes), self.r_cut, dtype=np.float32)
+            m[:k, k:] = -1.0
+            m[k:, :k] = -1.0
+            self.r_cut_matrix = m
+
         skew = float(jnp.sum(jnp.abs(sim.state.box[2])))
         if skew >= 1e-4:
             raise ValueError("box is skewed")
@@ -127,7 +157,10 @@ class tfcompute:
 
     @property
     def config_key(self):
-        return (self.r_cut, self.nneighbor_cutoff, self.period,
+        return (self.r_cut,
+                self.r_cut_matrix.tobytes()
+                if self.r_cut_matrix is not None else None,
+                self.nneighbor_cutoff, self.period,
                 self.batch_size, self.train, self.save_output_period,
                 self.map_enabled, self.model._trace_version,
                 id(self.nlist_method) if self.nlist_method is not None

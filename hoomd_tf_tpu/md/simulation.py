@@ -41,14 +41,28 @@ class Simulation:
     :param integrator: an integrator from :mod:`.integrators`
         (default :class:`.integrators.NVE`).
     :param seed: PRNG seed for stochastic integrators / initialization.
+    :param mesh: optional :class:`jax.sharding.Mesh`. With a mesh and the
+        cellwise neighbor mode, the slot-resident state is sharded along
+        ``shard_axis`` -- a spatial domain decomposition along z (the slot
+        layout is z-slab-major), replacing the reference's MPI
+        decomposition (SURVEY.md section 2.3). The *same* compiled step
+        runs SPMD: XLA partitions the elementwise physics by rows, turns
+        the z-axis rolls of the candidate build into ring collective
+        permutes over ICI (the halo exchange -- the compiler-derived
+        equivalent of :mod:`..parallel.domain`'s explicit ppermute ring),
+        and all-reduces the thermo/thermostat sums.
+    :param shard_axis: mesh axis name for the slot/particle dimension.
 
     Built-in forces are added with :meth:`add_force`; a :class:`..models.
     simmodel.SimModel` is attached through :class:`..driver.tfcompute`.
     """
 
-    def __init__(self, dt=0.005, integrator=None, seed=0):
+    def __init__(self, dt=0.005, integrator=None, seed=0, mesh=None,
+                 shard_axis="d"):
         self.dt = float(dt)
         self.integrator = integrator or _integrators.NVE()
+        self.mesh = mesh
+        self.shard_axis = shard_axis
         self.seed = seed
         self.state = None
         self.forces = []
@@ -129,7 +143,11 @@ class Simulation:
         tfc = self.tfc
         lengths = np.asarray(box_size(self.state.box))
         lo = np.asarray(self.state.box[0])
-        key = (float(tfc.r_cut), self.state.n_particles, self.dt,
+        z_div = self.mesh.shape[self.shard_axis] if self.mesh else 1
+        key = (float(tfc.r_cut),
+               tfc.r_cut_matrix.tobytes()
+               if tfc.r_cut_matrix is not None else None,
+               self.state.n_particles, self.dt, z_div,
                tuple(float(v) for v in lengths))
         if self._layout is not None and self._layout_key == key:
             return self._layout
@@ -145,13 +163,16 @@ class Simulation:
         plan = plan_cellwise(
             self.state.n_particles, lengths, tfc.r_cut, config=config,
             positions=np.asarray(self.state.positions), lo=lo,
-            drift_per_step=drift)
+            drift_per_step=drift, z_divisor=z_div)
         if plan is None:
+            extra = (f" with nz divisible by the {z_div}-device mesh"
+                     if z_div > 1 else "")
             raise ValueError(
                 f"Box {lengths} too small for the cellwise mode at "
-                f"r_cut={tfc.r_cut} (needs >= 3 cells per axis); use "
-                "nlist='n2' instead")
-        self._layout = SlotLayout(plan, self.state.n_particles, lo)
+                f"r_cut={tfc.r_cut} (needs >= 3 cells per axis{extra}); "
+                "use nlist='n2' instead")
+        self._layout = SlotLayout(plan, self.state.n_particles, lo,
+                                  rc_matrix=tfc.r_cut_matrix)
         self._layout_key = key
         return self._layout
 
@@ -164,6 +185,9 @@ class Simulation:
 
         tfc = self.tfc
         r_cut, NN = tfc.r_cut, max(1, tfc.nneighbor_cutoff)
+        rc_matrix = tfc.r_cut_matrix  # per-type-pair cutoffs (or None);
+        # covers the mapped AA<->CG exclusion uniformly on every path
+        # (reference rcut() matrix, tensorflowcompute.py:284-305)
         method = getattr(tfc, "nlist_method", None) or "auto"
         lengths = np.asarray(box_size(self.state.box))
         n = self.state.n_particles
@@ -187,7 +211,7 @@ class Simulation:
             def build(state):
                 return direct_cell_planes(
                     state.positions4, r_cut, grid, capacity,
-                    box_size(state.box))
+                    box_size(state.box), rcut_matrix=rc_matrix)
             build.plan = (grid, capacity)
             return build
 
@@ -195,13 +219,14 @@ class Simulation:
             method in ("cell", "pallas")
         sel_method = "pallas" if method == "pallas" else "sort"
         if method == "auto":
-            want_cell = (n >= 512 and not tfc.map_enabled and
-                         config.usable(lengths, r_cut))
+            want_cell = (n >= 512 and config.usable(lengths, r_cut))
             # measured on v5e: the fused stacked-tile Pallas selection beats
             # the XLA payload sort at every size (2.8 vs 6.1 ms at 4k,
             # 68 vs 158 ms at 64k)
             if want_cell and jax.default_backend() == "tpu":
                 sel_method = "pallas"
+        if sel_method == "pallas" and rc_matrix is not None:
+            sel_method = "sort"  # typed cutoffs not in the Pallas kernel
         if want_cell:
             grid, capacity = _cl.plan(n, lengths, r_cut, config)
             if grid is None:
@@ -222,24 +247,44 @@ class Simulation:
                 return _cl.cell_list_nlist(
                     state.positions4, r_cut, NN, state.box,
                     grid=grid, capacity=capacity, return_overflow=True,
-                    method=sel_method, static_lengths=static_lengths)
+                    method=sel_method, static_lengths=static_lengths,
+                    rcut_matrix=rc_matrix)
             build.plan = (grid, capacity)
             return build
 
         def build(state):
-            pos4 = state.positions4
-            exclusion = None
-            if tfc.map_enabled:
-                # AA and mapped CG beads never neighbor each other
-                # (reference rcut() matrix, tensorflowcompute.py:284-305)
-                is_map = jnp.arange(state.n_particles) >= tfc.model._map_i
-                exclusion = is_map[:, None] != is_map[None, :]
-            nl = compute_nlist(pos4, r_cut, NN, box_size(state.box),
+            nl = compute_nlist(state.positions4, r_cut, NN,
+                               box_size(state.box),
                                sorted=True, return_types=True,
-                               exclusion_matrix=exclusion)
+                               r_cut_matrix=rc_matrix)
             return nl, jnp.asarray(False)
         build.plan = None
         return build
+
+    def _apply_mesh(self, tree, rows):
+        """Place every array whose leading dim is the particle/slot axis
+        with ``P(shard_axis)`` row sharding; replicate the rest. Sharding
+        then propagates through the jitted scan -- the only multi-chip
+        machinery needed (XLA inserts the halo collective permutes for the
+        z-rolls and all-reduces for the thermo sums)."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec
+        mesh, axis = self.mesh, self.shard_axis
+        ndev = mesh.shape[axis]
+        if rows % ndev:
+            raise ValueError(
+                f"{rows} rows not divisible by the {ndev}-device mesh")
+        rep = NamedSharding(mesh, PartitionSpec())
+
+        def place(x):
+            x = jnp.asarray(x)
+            if x.ndim >= 1 and x.shape[0] == rows:
+                spec = PartitionSpec(axis, *([None] * (x.ndim - 1)))
+                return jax.device_put(x, NamedSharding(mesh, spec))
+            return jax.device_put(x, rep)
+
+        return jax.tree_util.tree_map(place, tree)
 
     def _build_nlist(self, state):
         """One-off neighbor build on the current state (host accessors)."""
@@ -693,8 +738,14 @@ class Simulation:
                 mf0 = packed[0]
             if carry_mvir:
                 mvir0 = packed[1]
+            if self.mesh is not None:
+                start_state, aux0, mf0, mvir0 = self._apply_mesh(
+                    (start_state, aux0, mf0, mvir0), layout.plan.n_slots)
         else:
             start_state, aux0 = self.state, {}
+            if self.mesh is not None:
+                start_state, mf0, mvir0 = self._apply_mesh(
+                    (start_state, mf0, mvir0), self.state.n_particles)
         carry = (start_state, aux0, mv, opt_state, mf0, mvir0)
         (state, aux, mv, opt_state, mf, mvir), ys = \
             self._scan_cache[cache_key](carry)

@@ -42,10 +42,11 @@ class SlotLayout:
     :param lo: box lower corner (concrete ``[3]``).
     """
 
-    def __init__(self, plan, n_real, lo):
+    def __init__(self, plan, n_real, lo, rc_matrix=None):
         self.plan = plan
         self.n = int(n_real)
         self.lo = tuple(float(v) for v in lo)
+        self.rc_matrix = rc_matrix  # per-type-pair cutoffs (or None)
         # jitted run()-boundary converters (eager op-by-op dispatch is
         # latency-bound through a remote TPU); cached on the layout so
         # repeat runs hit the compile cache
@@ -173,7 +174,8 @@ class SlotLayout:
         """Masked :class:`..ops.direct.NlistPlanes` for the current slot
         positions (rolls; fully fusable, see ops/cellwise.py)."""
         return cw.cellwise_planes(slot_state.positions, slot_state.types,
-                                  aux["valid"], self.plan)
+                                  aux["valid"], self.plan,
+                                  rcut_matrix=self.rc_matrix)
 
     # ------------------------------------------------------------------
     def ghost_pin(self, slot_state, aux):

@@ -113,9 +113,10 @@ def _build_planes(pos4, grid, capacity, lengths):
 
 
 @partial(jax.jit, static_argnames=("NN", "grid", "capacity", "r_cut",
-                                   "method", "static_lengths"))
+                                   "method", "static_lengths",
+                                   "rcut_matrix"))
 def _cell_nlist_impl(pos4, r_cut, NN, grid, capacity, box_lengths,
-                     method="sort", static_lengths=None):
+                     method="sort", static_lengths=None, rcut_matrix=None):
     """Cell-dense blocked build.
 
     TPU design notes (this shape of the algorithm is ~100x faster than the
@@ -202,6 +203,13 @@ def _cell_nlist_impl(pos4, r_cut, NN, grid, capacity, box_lengths,
     ddz = min_image(gz[:, None, :] - cz[:, :, None], lengths[2])
     d2 = ddx * ddx + ddy * ddy + ddz * ddz
     valid = (d2 <= r_cut * r_cut) & (d2 >= 25e-8)
+    if rcut_matrix is not None:
+        from .nlist import pair_rc2
+        # per-type-pair cutoffs (reference rcut() matrix,
+        # tensorflowcompute.py:284-305); ct is the per-slot type plane
+        # (empty slots hold 0 but are already distance-invalid)
+        rc2 = pair_rc2(ct[:, :, None], gt[:, None, :], rcut_matrix, dtype)
+        valid = valid & (d2 <= rc2)
 
     # --- nearest-NN selection via a payload sort ------------------------------
     # XLA's top_k lowers to a full sort per row anyway, and dynamic-index
@@ -263,7 +271,7 @@ def plan(n, box_lengths, r_cut, config=None):
 
 def cell_list_nlist(pos4, r_cut, NN, box, config=None, return_overflow=False,
                     grid=None, capacity=None, method="sort",
-                    static_lengths=None):
+                    static_lengths=None, rcut_matrix=None):
     """Padded ``[N, NN, 4]`` neighbor list (displacement + neighbor type)
     via a fixed-capacity cell list. Nearest-NN sorted ascending
     (approximately: slot-index tie-breaking perturbs the low mantissa bits).
@@ -281,7 +289,16 @@ def cell_list_nlist(pos4, r_cut, NN, box, config=None, return_overflow=False,
     :param method: ``'sort'`` (XLA payload sort) or ``'pallas'`` (fused
         VMEM kernel, see :mod:`.nlist_pallas`; needs ``static_lengths``).
     :param static_lengths: concrete ``(Lx, Ly, Lz)`` for the Pallas kernel.
+    :param rcut_matrix: per-type-pair ``[ntypes, ntypes]`` cutoffs
+        (negative = never neighbors; ``r_cut`` must be its max). Not
+        supported by ``method='pallas'``.
     """
+    if rcut_matrix is not None:
+        if method == "pallas":
+            raise ValueError("per-type r_cut is not supported by the "
+                             "Pallas selection kernel; use method='sort'")
+        rcut_matrix = tuple(tuple(float(v) for v in row)
+                            for row in np.asarray(rcut_matrix))
     box = jnp.asarray(box)
     lengths = _box_size(box) if box.ndim == 2 else box
     if grid is None or capacity is None:
@@ -296,7 +313,8 @@ def cell_list_nlist(pos4, r_cut, NN, box, config=None, return_overflow=False,
             float(v) for v in np.asarray(jax.lax.stop_gradient(lengths)))
     nlist, overflow = _cell_nlist_impl(
         pos4, float(r_cut), int(NN), tuple(grid), int(capacity), lengths,
-        method=method, static_lengths=static_lengths)
+        method=method, static_lengths=static_lengths,
+        rcut_matrix=rcut_matrix)
     if return_overflow:
         return nlist, overflow
     return nlist

@@ -132,7 +132,7 @@ _REPACK_SLOT_COST = 100e-9
 
 
 def plan_cellwise(n, box_lengths, r_cut, config=None, positions=None,
-                  lo=None, drift_per_step=None):
+                  lo=None, drift_per_step=None, z_divisor=1):
     """Choose ``(grid, capacity)`` minimizing amortized per-step cost.
 
     The fused pair loop costs ``27 * n_cells * capacity**2`` lanes;
@@ -151,6 +151,10 @@ def plan_cellwise(n, box_lengths, r_cut, config=None, positions=None,
     :param drift_per_step: typical per-step particle displacement (the
         engine passes ``dt * |v|_p99``); without it the rebuild term is
         dropped and the cheapest pair loop wins.
+    :param z_divisor: force ``nz`` to a multiple of this. The slot layout
+        is z-slab-major, so sharding the slot axis over a device mesh is
+        a spatial domain decomposition along z; equal shards need
+        ``nz % n_devices == 0`` (see md/simulation.py mesh support).
     :returns: a :class:`CellwisePlan`, or ``None`` if no valid grid (>= 3
         cells per axis) exists.
     """
@@ -162,8 +166,11 @@ def plan_cellwise(n, box_lengths, r_cut, config=None, positions=None,
     min_edge = r_cut + max(config.skin, 0.0)
     best = None
     for scale in np.linspace(1.0, 1.8, 9):
-        dims = tuple(int(math.floor(L / (min_edge * scale)))
-                     for L in lengths)
+        dims = list(int(math.floor(L / (min_edge * scale)))
+                    for L in lengths)
+        if z_divisor > 1:
+            dims[2] = (dims[2] // z_divisor) * z_divisor
+        dims = tuple(dims)
         if any(d < 3 for d in dims):
             continue
         edges = [L / d for L, d in zip(lengths, dims)]
@@ -245,12 +252,14 @@ def _roll27(plane, plan):
     return jnp.stack(outs, axis=3).reshape(plan.n_cells, plan.width)
 
 
-def cellwise_planes(positions, types, valid, plan):
+def cellwise_planes(positions, types, valid, plan, rcut_matrix=None):
     """Masked candidate planes for slot-resident state.
 
     :param positions: ``[n_slots, 3]`` slot positions (ghosts at centers).
     :param types: ``[n_slots]`` integer types (ghosts 0).
     :param valid: ``[n_slots]`` 1.0 for real rows, 0.0 for ghosts.
+    :param rcut_matrix: per-type-pair ``[ntypes, ntypes]`` cutoffs
+        (negative = never neighbors; ``plan.r_cut`` must be its max).
     :returns: :class:`.direct.NlistPlanes` with ``[n_slots, 27*cap]``
         components; ghost *rows* and ghost *candidates* are exactly zero,
         like the padded slots of the packed nlist.
@@ -274,6 +283,11 @@ def cellwise_planes(positions, types, valid, plan):
     ok = ((d2 <= rc2) & (d2 >= 25e-8) &
           (gv.reshape(n_cells, 1, C) > 0) &
           (valid.reshape(n_cells, cap, 1) > 0))
+    if rcut_matrix is not None:
+        from .nlist import pair_rc2
+        prc2 = pair_rc2(tt.reshape(n_cells, cap, 1),
+                        gt.reshape(n_cells, 1, C), rcut_matrix, dtype)
+        ok = ok & (d2 <= prc2)
     zero = jnp.zeros((), dtype=dtype)
     n_slots = plan.n_slots
 

@@ -47,13 +47,16 @@ class NlistPlanes(NamedTuple):
         return jnp.stack([self.dx, self.dy, self.dz, self.type], axis=-1)
 
 
-def direct_cell_planes(pos4, r_cut, grid, capacity, box_lengths):
+def direct_cell_planes(pos4, r_cut, grid, capacity, box_lengths,
+                       rcut_matrix=None):
     """Build candidate planes in particle order (no selection).
 
     :param pos4: ``[N, 4]`` positions + type.
     :param r_cut: cutoff (slots beyond it are zeroed).
     :param grid, capacity: static plan from :func:`.cell_list.plan`.
     :param box_lengths: ``[3]`` (may be traced; grid must be static).
+    :param rcut_matrix: per-type-pair ``[ntypes, ntypes]`` cutoffs
+        (negative = never neighbors; ``r_cut`` must be its max).
     :return: ``(NlistPlanes [N, 27*capacity], overflow flag)``.
     """
     from .cell_list import _build_planes
@@ -101,6 +104,11 @@ def direct_cell_planes(pos4, r_cut, grid, capacity, box_lengths):
     ddz = min_image(gz[cell_of_particle] - pz, lengths[2])
     d2 = ddx * ddx + ddy * ddy + ddz * ddz
     valid = (d2 <= r_cut * r_cut) & (d2 >= 25e-8)
+    if rcut_matrix is not None:
+        from .nlist import pair_rc2
+        rc2 = pair_rc2(pos4[:, 3][:, None], gt[cell_of_particle],
+                       rcut_matrix, dtype)
+        valid = valid & (d2 <= rc2)
     zero = jnp.zeros_like(ddx)
     planes = NlistPlanes(
         dx=jnp.where(valid, ddx, zero),

@@ -22,11 +22,40 @@ import jax.numpy as jnp
 
 from .box import box_size as _box_size
 
-__all__ = ["compute_nlist", "nlist_from_positions"]
+__all__ = ["compute_nlist", "nlist_from_positions", "pair_rc2"]
+
+
+def pair_rc2(type_i, type_j, r_cut_matrix, dtype):
+    """Squared per-pair cutoff from an ``[ntypes, ntypes]`` matrix
+    (reference parity: ``tensorflowcompute.py:284-305`` -- a negative
+    entry means the pair never neighbors, mapped here to ``-1`` so
+    ``d2 <= rc2`` is always False).
+
+    Implemented as ``ntypes**2`` fused mask-multiply terms rather than a
+    table gather: dynamic element gathers are the slowest primitive on
+    TPU (~1e8 elem/s) while this stays pure VPU work; particle-type
+    counts are small (the reference's systems use 2-6 types).
+
+    :param type_i, type_j: broadcastable integer (or float-typed) arrays.
+    :param r_cut_matrix: concrete ``[T, T]`` host matrix.
+    """
+    import numpy as np
+    m = np.asarray(r_cut_matrix, dtype=np.float64)
+    ti = type_i.astype(jnp.int32)
+    tj = type_j.astype(jnp.int32)
+    out = jnp.zeros(jnp.broadcast_shapes(ti.shape, tj.shape), dtype=dtype)
+    for a in range(m.shape[0]):
+        for b in range(m.shape[1]):
+            v = float(m[a, b])
+            v2 = -1.0 if v < 0 else v * v
+            out = out + jnp.asarray(v2, dtype=dtype) * (
+                (ti == a) & (tj == b)).astype(dtype)
+    return out
 
 
 def compute_nlist(positions, r_cut, NN, box_size, sorted=False,
-                  return_types=False, exclusion_matrix=None):
+                  return_types=False, exclusion_matrix=None,
+                  r_cut_matrix=None):
     """Dense pairwise neighbor list (reference-parity O(N^2) build).
 
     Mirrors reference ``utils.py:75-161`` including its quirks: the unsorted
@@ -42,6 +71,9 @@ def compute_nlist(positions, r_cut, NN, box_size, sorted=False,
     :param return_types: last nlist channel is the neighbor's type (requires
         ``[N, 4]`` positions) instead of its index.
     :param exclusion_matrix: ``[N, N]`` bool array, True = exclude pair.
+    :param r_cut_matrix: per-type-pair ``[ntypes, ntypes]`` cutoffs
+        (negative = never neighbors); requires ``[N, 4]`` positions.
+        ``r_cut`` still bounds the candidate radius (pass the matrix max).
     :return: ``[N, NN, 4]`` neighbor list.
     """
     positions = jnp.asarray(positions)
@@ -49,6 +81,8 @@ def compute_nlist(positions, r_cut, NN, box_size, sorted=False,
         raise ValueError(
             'Cannot return type if positions does not have type. '
             'Make sure positions is N x 4')
+    if r_cut_matrix is not None and positions.shape[1] != 4:
+        raise ValueError('per-type r_cut needs N x 4 positions (types)')
 
     box_size = jnp.asarray(box_size)
     if box_size.ndim == 2:
@@ -61,6 +95,11 @@ def compute_nlist(positions, r_cut, NN, box_size, sorted=False,
     dist_mat = dist_mat - jnp.round(dist_mat / box) * box
     dist = jnp.linalg.norm(dist_mat, axis=2)
     mask = (dist <= r_cut) & (dist >= 5e-4)
+    if r_cut_matrix is not None:
+        types = positions[:, 3]
+        rc2 = pair_rc2(types[:, None], types[None, :], r_cut_matrix,
+                       dist.dtype)
+        mask = mask & (dist * dist <= rc2)
     if exclusion_matrix is not None:
         nem = jnp.logical_not(jnp.asarray(exclusion_matrix))
         mask = mask & nem & nem.T

@@ -278,3 +278,96 @@ class TestShardedTraining:
         for gs, g1 in zip(g_sharded, g_single):
             np.testing.assert_allclose(np.asarray(gs), np.asarray(g1),
                                        rtol=1e-3, atol=1e-6)
+
+
+class TestUnifiedShardedEngine:
+    """The multi-chip engine IS the single-chip engine with a mesh
+    (VERDICT round-1 item 3): the full driver feature matrix runs sharded,
+    and the cellwise hot path matches single-device exactly (the analog of
+    the reference's MPI force-match bar, test_mpi_tensorflow.py:57-79)."""
+
+    @staticmethod
+    def _fluid(n=4096, mesh=None, integrator=None, seed=0, kT_init=1.0):
+        import dataclasses
+        sim = htf.Simulation(dt=0.005,
+                             integrator=integrator or htf.md.NVE(),
+                             seed=seed, mesh=mesh)
+        sim.init_lattice(n, density=0.4, kT_init=kT_init)
+        rng = np.random.RandomState(seed)
+        sim.state = dataclasses.replace(
+            sim.state, positions=sim.state.positions + 0.08 * jnp.asarray(
+                rng.uniform(-1, 1, (n, 3)).astype(np.float32)))
+        return sim
+
+    def test_sharded_cellwise_matches_single_device(self):
+        """20 NVT steps (crossing a repack) on an 8-device mesh equal the
+        single-device cellwise trajectory; no O(N^2) build anywhere."""
+        ref = self._fluid(integrator=htf.md.NVT(kT=1.0, tau=0.5))
+        shd = self._fluid(mesh=make_mesh(8),
+                          integrator=htf.md.NVT(kT=1.0, tau=0.5))
+        htf.tfcompute(zoo.LJModel(48)).attach(ref, r_cut=2.5,
+                                              nlist="cellwise")
+        htf.tfcompute(zoo.LJModel(48)).attach(shd, r_cut=2.5,
+                                              nlist="cellwise")
+        # the plan must be the z-decomposed grid, not a fallback
+        assert shd._ensure_layout().plan.grid[2] % 8 == 0
+        ref.run(20)
+        shd.run(20)
+        L = np.asarray(htf.box_size(ref.state.box))
+        d = np.asarray(ref.state.positions) - np.asarray(shd.state.positions)
+        d = d - np.round(d / L) * L
+        np.testing.assert_allclose(d, np.zeros_like(d), atol=1e-4)
+
+    def test_sharded_langevin_and_logging(self):
+        from hoomd_tf_tpu.parallel import ShardedSimulation
+        sim = ShardedSimulation(dt=0.005, mesh=make_mesh(8), seed=2,
+                                integrator=htf.md.Langevin(kT=0.9,
+                                                           gamma=1.0))
+        sim.init_lattice(4096, density=0.4, kT_init=0.9)
+        sim.attach(zoo.LJModel(48), r_cut=2.5)
+        sim.run(30, log_period=10)
+        assert sim.log["temperature"].shape == (3,)
+        assert np.all(np.isfinite(sim.log["potential_energy"]))
+        t = sim.thermo()["temperature"]
+        assert 0.3 < t < 2.5, t
+
+    def test_sharded_builtin_forces_and_period(self):
+        from hoomd_tf_tpu.parallel import ShardedSimulation
+        sim = ShardedSimulation(dt=0.005, kT=1.0, mesh=make_mesh(8), seed=3)
+        sim.init_lattice(4096, density=0.4, kT_init=1.0)
+        sim.add_force(htf.md.LennardJones(epsilon=0.5, sigma=1.0,
+                                          r_cut=2.5))
+        tfc = sim.attach(zoo.LJModel(48), r_cut=2.5, period=2)
+        sim.run(10)
+        assert int(sim.state.step) == 10
+        assert np.all(np.isfinite(np.asarray(sim.state.forces)))
+
+    def test_sharded_online_training(self):
+        """hoomd2tf training inside the sharded engine: loss decreases."""
+        import dataclasses
+        from hoomd_tf_tpu.parallel import ShardedSimulation
+        from test_cellwise import TrainablePlanes
+        sim = ShardedSimulation(dt=0.005, mesh=make_mesh(8), seed=4,
+                                integrator=htf.md.Langevin(kT=0.8,
+                                                           gamma=1.0))
+        sim.init_lattice(4096, density=0.4, kT_init=0.8)
+        lj = sim.add_force(htf.md.LennardJones(epsilon=1.0, sigma=1.0,
+                                               r_cut=2.5))
+        model = TrainablePlanes(48, output_forces=False)
+        model.lj.w.assign(jnp.asarray([0.6, 1.3]))
+        model.compile(optimizer="adam", loss="mse", learning_rate=5e-2)
+        tfc = sim.attach(model, r_cut=2.5, train=True)
+        tfc.set_reference_forces(lj)
+        sim.run(40)
+        losses = tfc.loss_history
+        assert len(losses) == 40
+        assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+    def test_small_box_falls_back_to_n2(self):
+        from hoomd_tf_tpu.parallel import ShardedSimulation
+        sim = ShardedSimulation(dt=0.005, kT=0.8, mesh=make_mesh(8), seed=5)
+        sim.init_lattice(128, a=1.4, kT_init=0.8)
+        tfc = sim.attach(zoo.LJModel(24), r_cut=2.5)
+        assert tfc.nlist_method == "n2"
+        sim.run(10)
+        assert np.isfinite(sim.thermo()["potential_energy"])
