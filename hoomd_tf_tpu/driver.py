@@ -266,15 +266,13 @@ class tfcompute:
         return self.opt_state
 
     def collect_outputs(self, start_step, n, ys):
-        """Host-side bookkeeping after a run: saved outputs & loss history
-        (reference parity: ``tensorflowcompute.py:313-370``)."""
-        losses, extras, cell_overflow = ys
-        if bool(np.any(np.asarray(cell_overflow))):
-            raise ValueError(
-                "Cell capacity exceeded during the run (a cell held "
-                "more particles than planned). Increase "
-                "CellList(capacity=) / Cellwise(capacity=) or attach "
-                "with nlist='n2'.")
+        """Host-side bookkeeping per scan block: saved outputs & loss
+        history (reference parity: ``tensorflowcompute.py:313-370``).
+        Called once per dispatched block, so host/device buffers stay
+        bounded by ``Simulation.scan_block``."""
+        losses, extras = ys
+        if not self.train and not (self.save_output_period and extras):
+            return
         steps = np.arange(start_step, start_step + n)
         eval_mask = steps % self.period == 0
         if self.train:

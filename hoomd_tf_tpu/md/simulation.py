@@ -68,6 +68,13 @@ class Simulation:
         self.forces = []
         self.tfc = None         # attached tfcompute driver (or None)
         self.log = None         # thermo history (run(log_period=...))
+        # run(n) executes as ceil(n / scan_block) dispatches of one
+        # compiled fixed-length scan (plus one remainder scan), so
+        # run(1000) then run(500) share the same compiled block and
+        # per-step host buffers stay O(scan_block) regardless of n.
+        # The reference has no analog (HOOMD owns the loop); this kills
+        # the per-run-length recompile a naive scan(length=n) would pay.
+        self.scan_block = 100
         self._scan_cache = {}
         self._layout = None     # cached SlotLayout (cellwise mode)
         self._layout_key = None
@@ -498,7 +505,8 @@ class Simulation:
             self._step_flags(log)
 
         def step(carry, _):
-            state, aux, mv, opt_state, model_forces, model_virial = carry
+            (state, aux, mv, opt_state, model_forces, model_virial,
+             overflow) = carry
             state = integ.pre_force(state, dt)
             if layout is not None:
                 # ghosts must stay inert through any integrator substep
@@ -620,11 +628,13 @@ class Simulation:
                 state = layout.ghost_pin(state, aux)
             state = dataclasses.replace(state, step=state.step + 1)
             thermo_y = (_thermo.thermo(state) if log else {})
-            ys = ((loss, extras, cell_overflow, thermo_y)
-                  if (train or n_extras)
-                  else (loss, (), cell_overflow, thermo_y))
+            # overflow rides the carry (OR-accumulated) instead of the
+            # per-step ys: one bool checked once at the end of the run
+            overflow = jnp.logical_or(overflow, cell_overflow)
+            ys = ((loss, extras, thermo_y) if (train or n_extras)
+                  else (loss, (), thermo_y))
             return (state, aux, mv, opt_state, model_forces,
-                    model_virial), ys
+                    model_virial, overflow), ys
 
         return step
 
@@ -680,7 +690,12 @@ class Simulation:
         return len(extras), tuple(tuple(e.shape) for e in extras)
 
     def run(self, n, log_period=None):
-        """Advance the simulation ``n`` steps (one compiled scan).
+        """Advance the simulation ``n`` steps.
+
+        Executes as ``ceil(n / scan_block)`` dispatches of one compiled
+        fixed-length scan (plus a remainder scan), so the compiled program
+        is reused across different ``n`` and host/device buffers for
+        logging stay bounded by ``scan_block`` instead of ``n``.
 
         :param log_period: if set, record thermodynamic quantities every
             this many steps into ``self.log`` (dict of numpy arrays, the
@@ -697,21 +712,31 @@ class Simulation:
         log = log_period is not None
         layout = self._ensure_layout() if self._use_cellwise() else None
 
-        cache_key = (n, n_extras, extras_shapes,
-                     tfc.config_key if tfc else None,
-                     len(self.forces), log,
-                     layout.plan if layout else None)
-        if cache_key not in self._scan_cache:
-            nlist_builder = (self._make_nlist_builder()
-                             if (tfc and tfc.nneighbor_cutoff > 0 and
-                                 layout is None) else None)
-            step = self._make_step(n_extras, extras_shapes, nlist_builder,
-                                   log=log, layout=layout)
+        block = int(self.scan_block) if self.scan_block else n
+        segments = [block] * (n // block)
+        if n % block:
+            segments.append(n % block)
 
-            @jax.jit
-            def scan_n(carry):
-                return jax.lax.scan(step, carry, None, length=n)
-            self._scan_cache[cache_key] = scan_n
+        base_key = (n_extras, extras_shapes,
+                    tfc.config_key if tfc else None,
+                    len(self.forces), log,
+                    layout.plan if layout else None)
+
+        def scan_for(length):
+            cache_key = (length,) + base_key
+            if cache_key not in self._scan_cache:
+                nlist_builder = (self._make_nlist_builder()
+                                 if (tfc and tfc.nneighbor_cutoff > 0 and
+                                     layout is None) else None)
+                step = self._make_step(n_extras, extras_shapes,
+                                       nlist_builder, log=log,
+                                       layout=layout)
+
+                @jax.jit
+                def scan_n(carry):
+                    return jax.lax.scan(step, carry, None, length=length)
+                self._scan_cache[cache_key] = scan_n
+            return self._scan_cache[cache_key]
 
         mv = get_state(tfc.model) if tfc else []
         opt_state = tfc.ensure_opt_state(mv) if (tfc and tfc.train) else ()
@@ -746,9 +771,25 @@ class Simulation:
             if self.mesh is not None:
                 start_state, mf0, mvir0 = self._apply_mesh(
                     (start_state, mf0, mvir0), self.state.n_particles)
-        carry = (start_state, aux0, mv, opt_state, mf0, mvir0)
-        (state, aux, mv, opt_state, mf, mvir), ys = \
-            self._scan_cache[cache_key](carry)
+        carry = (start_state, aux0, mv, opt_state, mf0, mvir0,
+                 jnp.asarray(False))
+        start_step = int(np.asarray(self.state.step))
+        seg_start = start_step
+        log_entries = []
+        for length in segments:
+            carry, ys = scan_for(length)(carry)
+            if log:
+                steps = np.arange(seg_start, seg_start + length)
+                keep = (steps % log_period) == 0
+                if keep.any():
+                    entry = {k: np.asarray(v)[keep]
+                             for k, v in ys[2].items()}
+                    entry["step"] = steps[keep]
+                    log_entries.append(entry)
+            if tfc:
+                tfc.collect_outputs(seg_start, length, ys[:2])
+            seg_start += length
+        state, aux, mv, opt_state, mf, mvir, overflow = carry
         if layout is not None:
             to_unpack = ((mf,) if carry_mf else ()) + \
                 ((mvir,) if carry_mvir else ())
@@ -758,25 +799,26 @@ class Simulation:
             if carry_mvir:
                 mvir = unpacked[1]
         self.state = state
-        if log:
-            thermo_hist = ys[3]
-            steps = np.arange(int(np.asarray(state.step)) - n,
-                              int(np.asarray(state.step)))
-            keep = (steps % log_period) == 0
-            entry = {k: np.asarray(v)[keep] for k, v in thermo_hist.items()}
-            entry["step"] = steps[keep]
+        if log_entries:
+            entry = {k: np.concatenate([e[k] for e in log_entries])
+                     for k in log_entries[0]}
             if not hasattr(self, "log") or self.log is None:
                 self.log = entry
             else:
                 self.log = {k: np.concatenate([self.log[k], entry[k]])
                             for k in entry}
+        if bool(np.asarray(overflow)):
+            raise ValueError(
+                "Cell capacity exceeded during the run (a cell held "
+                "more particles than planned). Increase "
+                "CellList(capacity=) / Cellwise(capacity=) or attach "
+                "with nlist='n2'.")
         if tfc:
             set_state(tfc.model, mv)
             tfc._model_forces = mf if carry_mf else None
             tfc._model_virial = mvir if carry_mvir else None
             if tfc.train:
                 tfc.opt_state = opt_state
-            tfc.collect_outputs(np.asarray(state.step) - n, n, ys[:3])
             tfc.check_overflow()
 
 
