@@ -145,6 +145,10 @@ def write_gsd_frames(path, frames, box=None, types=None):
             if "velocity" in fr:
                 f.write_chunk("particles/velocity",
                               np.asarray(fr["velocity"], np.float32))
+            if "forces" in fr:
+                # hoomd-v3 logging convention for per-particle net force
+                f.write_chunk("log/particles/force",
+                              np.asarray(fr["forces"], np.float32)[:, :3])
             f.end_frame()
 
 
@@ -160,6 +164,18 @@ class _GSDAtomGroup:
     @property
     def types(self):
         return self._u._types
+
+    @property
+    def velocities(self):
+        if self._u._velocities is None:
+            raise AttributeError("this GSD trajectory has no velocities")
+        return self._u._velocities
+
+    @property
+    def forces(self):
+        if self._u._forces is None:
+            raise AttributeError("this GSD trajectory has no forces")
+        return self._u._forces
 
     @property
     def n_atoms(self):
@@ -201,6 +217,17 @@ class GSDUniverse:
                 i, "particles/typeid").astype(str)
         else:
             self._types = np.zeros(self._n, dtype=np.int32).astype(str)
+        self._velocities = None
+        if self._file.chunk_exists(i, "particles/velocity"):
+            self._velocities = np.asarray(self._file.read_chunk(
+                i, "particles/velocity"), dtype=np.float32)
+        self._forces = None
+        for name in ("log/particles/force", "particles/force",
+                     "log/particles/net_force"):
+            if self._file.chunk_exists(i, name):
+                self._forces = np.asarray(self._file.read_chunk(
+                    i, name), dtype=np.float32)
+                break
 
     def select_atoms(self, selection):
         if selection != "all":

@@ -13,17 +13,73 @@ import numpy as np
 
 from ..ops.nlist import compute_nlist
 
-__all__ = ["iter_from_trajectory", "compute_pairwise", "create_frame"]
+__all__ = ["iter_from_trajectory", "compute_pairwise", "create_frame",
+           "TrajectoryFrame"]
+
+
+class TrajectoryFrame:
+    """Selection-consistent view of one trajectory frame.
+
+    The reference rebuilds a sub-universe under a selection so the yielded
+    timestep carries that selection's velocities and forces
+    (``utils.py:666-686``) -- offline force matching reads ``ts.forces``
+    as training labels. This wrapper gives the same contract:
+    ``positions`` / ``velocities`` / ``forces`` are the (selection) atom
+    group's arrays *snapshotted at yield time* (MDAnalysis mutates one
+    live Timestep per frame -- the snapshot removes that footgun, so
+    frames collected with ``list(...)`` stay frame-consistent);
+    everything else (``frame``, ``time``, ``dt``, ...) delegates to the
+    underlying timestep object. ``velocities``/``forces`` raise
+    ``AttributeError`` when the trajectory does not carry them, like
+    MDAnalysis.
+    """
+
+    def __init__(self, ts, atom_group):
+        self._ts = ts
+        self.positions = np.array(atom_group.positions, dtype=np.float32)
+        self._velocities = self._snap(atom_group, "velocities")
+        self._forces = self._snap(atom_group, "forces")
+
+    @staticmethod
+    def _snap(group, name):
+        # MDAnalysis raises NoDataError (subclasses both AttributeError
+        # and ValueError) when the trajectory lacks the attribute
+        try:
+            return np.array(getattr(group, name), dtype=np.float32)
+        except (AttributeError, ValueError):
+            return None
+
+    @property
+    def velocities(self):
+        if self._velocities is None:
+            raise AttributeError("this trajectory has no velocities")
+        return self._velocities
+
+    @property
+    def forces(self):
+        if self._forces is None:
+            raise AttributeError("this trajectory has no forces")
+        return self._forces
+
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "_ts"), name)
+
+    def __repr__(self):
+        return f"TrajectoryFrame({self._ts!r})"
 
 
 def iter_from_trajectory(nneighbor_cutoff, universe, selection="all",
                          r_cut=10.0, period=1, start=0, end=None,
                          progress=False):
-    """Yield ``([nlist, positions, box], timestep)`` per trajectory frame.
+    """Yield ``([nlist, positions, box], frame)`` per trajectory frame.
 
     The inputs list can be passed directly to a :class:`.SimModel`
     (``model(inputs)``). Box angles are converted to hoomd tilt factors as
-    in the reference (``utils.py:689-702``).
+    in the reference (``utils.py:689-702``). The yielded ``frame`` is a
+    :class:`TrajectoryFrame`: ``frame.forces`` / ``frame.velocities`` give
+    the selection's per-frame labels when the trajectory carries them
+    (reference parity: the sub-universe of ``utils.py:666-686``), so
+    offline force matching can train on ``frame.forces`` directly.
 
     One deliberate fix vs. the reference: the neighbor list is recomputed
     **every frame** (the reference computed it once from frame 0 and reused
@@ -83,7 +139,8 @@ def iter_from_trajectory(nneighbor_cutoff, universe, selection="all",
              type_array], axis=1)
         nlist = compute_nlist(positions[:, :3], r_cut=r_cut,
                               NN=nneighbor_cutoff, box_size=box[:3])
-        yield [nlist, jnp.asarray(positions), jnp.asarray(hoomd_box)], ts
+        yield ([nlist, jnp.asarray(positions), jnp.asarray(hoomd_box)],
+               TrajectoryFrame(ts, atom_group))
 
 
 def compute_pairwise(model, r, type_i=0, type_j=0):
@@ -98,6 +155,8 @@ def compute_pairwise(model, r, type_i=0, type_j=0):
     """
     import jax
 
+    from ..models.module import get_state, set_state
+
     NN = model.nneighbor_cutoff
     box = jnp.asarray([[0.0, 0, 0], [1e10, 1e10, 1e10], [0, 0, 0]],
                       dtype=model.dtype)
@@ -109,19 +168,24 @@ def compute_pairwise(model, r, type_i=0, type_j=0):
     positions[1, 3] = type_j
     positions = jnp.asarray(positions)
 
-    outputs = None
-    for ri in np.asarray(r):
-        nlist = base_nlist.copy()
-        nlist[0, 0, 1] = ri
-        nlist[1, 0, 1] = -ri
-        result = model([jnp.asarray(nlist), positions, box])
-        result = [np.asarray(o)[None, ...] for o in result]
-        if outputs is None:
-            outputs = result
-        else:
-            outputs = [np.concatenate([o, nw], axis=0)
-                       for o, nw in zip(outputs, result)]
-    return outputs
+    # all separations in ONE device program (vmap over r) -- a host loop
+    # of eager dispatches is latency-bound through a remote TPU
+    r = np.asarray(r, dtype=np.float32)
+    nlists = np.broadcast_to(base_nlist, (len(r),) + base_nlist.shape) \
+        .copy()
+    nlists[:, 0, 0, 1] = r
+    nlists[:, 1, 0, 1] = -r
+    model.ensure_built([jnp.asarray(base_nlist), positions, box],
+                       training=False)
+    snap = get_state(model)
+    try:
+        outs = jax.jit(jax.vmap(
+            lambda nl: tuple(model([nl, positions, box]))))(
+                jnp.asarray(nlists))
+    finally:
+        # any variable updates made under the vmap trace are discarded
+        set_state(model, snap)
+    return [np.asarray(o) for o in outs]
 
 
 def create_frame(frame_number, N, types, typeids, positions, box):

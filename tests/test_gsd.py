@@ -96,6 +96,35 @@ class TestUniverseAdapter:
             np.asarray(positions)[:, :3], frames[1]["positions"],
             atol=1e-6)
 
+    def test_forces_and_velocities_roundtrip(self, tmp_path):
+        """Force/velocity labels survive the GSD roundtrip and surface on
+        the yielded frame (VERDICT item 7: offline force matching from
+        real trajectory files)."""
+        rng = np.random.RandomState(2)
+        frames = [{"positions": (rng.rand(8, 3) * 6 - 3).astype(np.float32),
+                   "velocity": rng.randn(8, 3).astype(np.float32),
+                   "forces": rng.randn(8, 3).astype(np.float32)}
+                  for _ in range(3)]
+        path = str(tmp_path / "traj.gsd")
+        write_gsd_frames(path, frames, box=[6, 6, 6])
+        u = GSDUniverse(path)
+        outs = list(htf.iter_from_trajectory(4, u, r_cut=2.0))
+        assert len(outs) == 3
+        for i, (inputs, ts) in enumerate(outs):
+            np.testing.assert_allclose(ts.forces, frames[i]["forces"])
+            np.testing.assert_allclose(ts.velocities,
+                                       frames[i]["velocity"])
+
+    def test_forces_absent_raises(self, tmp_path):
+        path = str(tmp_path / "t.gsd")
+        write_gsd_frames(
+            path, [{"positions": np.zeros((3, 3), np.float32)}],
+            box=[5, 5, 5])
+        u = GSDUniverse(path)
+        (inputs, ts), = list(htf.iter_from_trajectory(2, u, r_cut=2.0))
+        with pytest.raises(AttributeError):
+            ts.forces
+
     def test_simulation_trajectory_to_gsd_and_back(self, tmp_path):
         """End-to-end: run MD, dump gsd via the native writer, re-read and
         force-match -- the reference's offline pipeline without MDAnalysis."""

@@ -55,9 +55,16 @@ class FakeUniverse:
     """Minimal universe protocol for iter_from_trajectory and friends."""
 
     def __init__(self, positions_frames, names=None, types=None, bonds=(),
-                 dimensions=(10, 10, 10, 90, 90, 90), resnames=None):
+                 dimensions=(10, 10, 10, 90, 90, 90), resnames=None,
+                 forces_frames=None, velocities_frames=None):
         self._frames = [np.asarray(p, dtype=np.float32)
                         for p in positions_frames]
+        self._force_frames = ([np.asarray(f, dtype=np.float32)
+                               for f in forces_frames]
+                              if forces_frames is not None else None)
+        self._vel_frames = ([np.asarray(v, dtype=np.float32)
+                             for v in velocities_frames]
+                            if velocities_frames is not None else None)
         n = self._frames[0].shape[0]
         names = names or [f"A{i}" for i in range(n)]
         self._group = FakeGroup(
@@ -73,6 +80,10 @@ class FakeUniverse:
         def gen():
             for i, f in enumerate(self._frames):
                 self._group.positions = f
+                if self._force_frames is not None:
+                    self._group.forces = self._force_frames[i]
+                if self._vel_frames is not None:
+                    self._group.velocities = self._vel_frames[i]
                 yield FakeTimestep(i)
         return gen()
 
@@ -308,6 +319,45 @@ class TestIterFromTrajectory:
             assert np.all(np.isfinite(np.asarray(out[0])))
             count += 1
         assert count == 3
+
+    def test_frame_forces_and_velocities(self):
+        """The yielded frame surfaces per-frame selection forces and
+        velocities when the trajectory has them (reference parity:
+        utils.py:666-686 sub-universe for offline force matching)."""
+        rng = np.random.RandomState(3)
+        frames = [rng.rand(6, 3) * 6 for _ in range(3)]
+        forces = [rng.randn(6, 3).astype(np.float32) for _ in range(3)]
+        vels = [rng.randn(6, 3).astype(np.float32) for _ in range(3)]
+        u = FakeUniverse(frames, dimensions=(6, 6, 6, 90, 90, 90),
+                         forces_frames=forces, velocities_frames=vels)
+        outs = list(htf.iter_from_trajectory(4, u, r_cut=2.0))
+        for i, (inputs, ts) in enumerate(outs):
+            np.testing.assert_allclose(ts.forces, forces[i])
+            np.testing.assert_allclose(ts.velocities, vels[i])
+            np.testing.assert_allclose(ts.positions, frames[i], atol=1e-6)
+            assert ts.frame == i
+
+    def test_frame_forces_absent_raises(self):
+        u = FakeUniverse([np.zeros((4, 3))],
+                         dimensions=(6, 6, 6, 90, 90, 90))
+        (inputs, ts), = list(htf.iter_from_trajectory(2, u, r_cut=2.0))
+        with pytest.raises(AttributeError):
+            ts.forces
+
+    def test_force_matching_on_frame_labels(self):
+        """Train directly on ts.forces labels (the reference's offline
+        force-matching loop, examples 06/08)."""
+        rng = np.random.RandomState(4)
+        frames = [rng.rand(8, 3) * 6 for _ in range(4)]
+        forces = [np.zeros((8, 3), dtype=np.float32) for _ in range(4)]
+        u = FakeUniverse(frames, dimensions=(6, 6, 6, 90, 90, 90),
+                         forces_frames=forces)
+        model = zoo.TrainableGraph(6)
+        model.compile(optimizer="adam", loss="mse", learning_rate=1e-2)
+        for inputs, ts in htf.iter_from_trajectory(6, u, r_cut=2.5):
+            loss = float(model.train_on_batch(
+                inputs, jnp.asarray(ts.forces)))
+            assert np.isfinite(loss)
 
     def test_offline_training_from_trajectory(self):
         """Offline force matching over trajectory frames (the reference's
