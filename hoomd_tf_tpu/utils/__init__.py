@@ -7,6 +7,7 @@ from .graph import (compute_adj_mat, compute_cg_graph, find_cgnode_id,
 from .mol_features import mol_bond_distance, mol_angle, mol_dihedral
 from .trajectory import iter_from_trajectory, compute_pairwise, create_frame
 from .gsd_io import GSDFile, GSDUniverse, write_gsd_frames
+from .pdb_io import PDBUniverse
 from .profiling import trace, time_steps, benchmark_simulation
 
 __all__ = [
@@ -17,5 +18,5 @@ __all__ = [
     "mol_features_multiple", "mol_bond_distance", "mol_angle",
     "mol_dihedral", "iter_from_trajectory", "compute_pairwise",
     "create_frame", "GSDFile", "GSDUniverse", "write_gsd_frames",
-    "trace", "time_steps", "benchmark_simulation",
+    "PDBUniverse", "trace", "time_steps", "benchmark_simulation",
 ]
