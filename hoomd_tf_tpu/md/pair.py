@@ -84,7 +84,13 @@ class LennardJones:
 
 
 class WCA:
-    """Weeks-Chandler-Anderson (purely repulsive shifted LJ)."""
+    """Weeks-Chandler-Anderson (purely repulsive shifted LJ).
+
+    Uses the physical full-LJ form cut at the minimum ``2^(1/6) sigma``.
+    Distinct from :class:`..models.layers.WCARepulsion`, which keeps
+    reference parity with the ``(sigma/r)^6``-only form cut at
+    ``2^(1/3) sigma`` (``layers.py:52-98``) -- the two cutoffs differ on
+    purpose."""
 
     def __init__(self, epsilon=1.0, sigma=1.0):
         self.epsilon = jnp.asarray(epsilon)

@@ -100,6 +100,12 @@ class WCARepulsion(Layer):
     with trainable :math:`\sigma` and a negative-strength regularizer that
     pushes :math:`\sigma` toward larger distances. Input is the neighbor
     list; output is the clipped per-pair energy ``[N, NN]``.
+
+    Note the cutoff is :math:`2^{1/3}\sigma` -- the minimum of the
+    :math:`\sigma^6/r^6`-only potential used here (reference parity);
+    the built-in full-LJ :class:`..md.pair.WCA` force cuts at the
+    physical :math:`2^{1/6}\sigma` instead. The difference is
+    deliberate.
     """
 
     def __init__(self, sigma, regularization_strength=1e-3,
