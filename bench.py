@@ -21,7 +21,19 @@ import jax.numpy as jnp
 import hoomd_tf_tpu as htf
 
 
-class LJ(htf.SimModel):
+class LJ(htf.PairModel):
+    """Flagship model: LJ declared as a pair potential, which the engine
+    evaluates on the analytic forward-only fast path in cellwise mode
+    (dU/dr^2 via jvp -- no vjp replay; ops/cellwise.analytic_pair_forces).
+    Set HTF_BENCH_MODEL=simmodel for the generic SimModel route."""
+
+    def pair_energy(self, r2):
+        u = 1.0 / r2
+        sr6 = u * u * u
+        return 4.0 * (sr6 * sr6 - sr6)
+
+
+class LJSim(htf.SimModel):
     def compute(self, nlist, positions, box):
         rinv = htf.nlist_rinv(nlist)
         inv_r6 = rinv ** 6
@@ -40,13 +52,18 @@ def main():
     steps = int(os.environ.get("HTF_BENCH_STEPS", 1000 if on_tpu else 50))
     r_cut = 3.0
 
-    model = LJ(nn)
+    model_cls = (LJSim if os.environ.get("HTF_BENCH_MODEL") == "simmodel"
+                 else LJ)
+    model = model_cls(nn)
     sim = htf.Simulation(dt=0.005, integrator=htf.md.NVT(kT=1.2, tau=0.5),
                          seed=0)
     sim.init_lattice(n, density=0.4, kT_init=1.2)
-    # jitter so cell-capacity planning sees fluid-like (not lattice-aligned)
-    # occupancy; capacity drives the candidate width and therefore the
-    # neighbor-build cost directly
+    # jitter so cell-capacity planning sees fluid-like (not
+    # lattice-aligned) occupancy. Deliberately generous (0.3): the
+    # melting transient packs cells harder than the equilibrated fluid,
+    # and the initial plan must survive it -- replan() below tightens
+    # capacity once equilibrated (a 0.05 jitter was tried and overflowed
+    # mid-warmup)
     import dataclasses
     import numpy as np
     rng = np.random.RandomState(0)
@@ -63,7 +80,13 @@ def main():
     tfc = htf.tfcompute(model)
     tfc.attach(sim, r_cut=r_cut, nlist=nlist_mode)
 
-    # warmup + compile the exact scan that will be timed
+    # warmup/equilibrate, then re-plan: the initial plan measures the
+    # jittered lattice's inflated cell occupancy; the equilibrated fluid
+    # packs tighter, and capacity enters the pair work quadratically
+    sim.run(steps)
+    jax.block_until_ready(sim.state.positions)
+    sim.replan()
+    # compile the exact (re-planned) scan that will be timed
     sim.run(steps)
     jax.block_until_ready(sim.state.positions)
 

@@ -54,6 +54,7 @@ from .ops import (box_size, wrap_vector, make_box, box_from_lengths,
                   NlistPlanes, direct_cell_planes, Cellwise,
                   compute_rdf)
 from .models import (Variable, Layer, Mean, MeanTensor, SimModel, MolSimModel,
+                     PairModel,
                      RBFExpansion, WCARepulsion, EDSLayer, Dense,
                      LJPotential, TrainableLJ, NeuralPairPotential)
 from . import ops
@@ -84,6 +85,7 @@ __all__ = [
     "compute_nlist", "nlist_from_positions", "CellList", "cell_list_nlist",
     "NlistPlanes", "direct_cell_planes", "Cellwise", "compute_rdf",
     "Variable", "Layer", "Mean", "MeanTensor", "SimModel", "MolSimModel",
+    "PairModel",
     "RBFExpansion", "WCARepulsion", "EDSLayer", "Dense",
     "LJPotential", "TrainableLJ", "NeuralPairPotential",
     "Simulation", "tfcompute",

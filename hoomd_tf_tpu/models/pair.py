@@ -1,0 +1,95 @@
+"""PairModel: the pair-potential model specialization.
+
+A large share of machine-learned and classical potentials are pair
+potentials: the energy is a sum of per-pair terms ``U(r^2, type_i,
+type_j)``. Declaring that structure (instead of writing a generic
+``compute``) lets the engine evaluate the model on an analytic
+forward-only path in the slot-resident (cellwise) neighbor mode: the
+per-pair force coefficient ``dU/d(r^2)`` comes from one ``jax.jvp`` in
+the same pass, so there is no vjp replay and no candidate-plane
+rematerialization -- measured 1.5x faster than the generic route at 64k
+particles on a TPU v5e (see ops/cellwise.analytic_pair_forces and
+docs/performance.md).
+
+Everywhere else -- packed neighbor lists, the wide-direct planes mode,
+training, CPU -- :class:`PairModel` behaves exactly like a
+:class:`.simmodel.SimModel` through the default :meth:`compute` built on
+the same ``pair_energy``, so one definition runs on every path with
+identical physics.
+
+The reference has no analog (its models are opaque TF graphs); the
+closest counterpart is the pair-potential pattern of its examples
+(``build_examples.py`` LJModel et al.), which this class packages.
+"""
+
+import jax.numpy as jnp
+
+from .simmodel import SimModel, _sniff_compute
+from ..ops.forces import compute_nlist_forces
+
+__all__ = ["PairModel"]
+
+
+class PairModel(SimModel):
+    """A :class:`.SimModel` defined by a per-pair energy.
+
+    Subclasses implement::
+
+        def pair_energy(self, r2):                      # single-type
+        def pair_energy(self, r2, type_i, type_j):      # typed
+
+    returning the **full** pair energy per lane from the squared
+    separation ``r2`` (same shape as the neighbor lanes; masked lanes
+    are zeroed by the framework, and ``r2`` is pre-clamped to
+    ``min_r2`` so overlapping pairs stay finite in float32). Use even
+    powers of ``1/r2`` where possible; take ``jnp.sqrt(r2)`` only if the
+    potential genuinely needs ``r``.
+
+    :param nneighbor_cutoff: max neighbors NN (as in SimModel).
+    :param min_r2: squared-distance clamp applied before
+        ``pair_energy`` (overlap guard; default ``1e-4``).
+    """
+
+    def __init__(self, nneighbor_cutoff, min_r2=1e-4, **kwargs):
+        self.min_r2 = float(min_r2)
+        n_args, _ = _sniff_compute(self.pair_energy, 3, "PairModel")
+        if n_args not in (1, 3):
+            raise ValueError(
+                "pair_energy must take (r2) or (r2, type_i, type_j), "
+                f"got {n_args} tensor arguments")
+        self.pair_with_types = n_args == 3
+        super().__init__(nneighbor_cutoff, **kwargs)
+
+    # ------------------------------------------------------------------
+    def pair_energy(self, r2, type_i=None, type_j=None):
+        raise NotImplementedError(
+            "PairModel subclasses implement pair_energy")
+
+    def get_config(self):
+        config = super().get_config()
+        config["min_r2"] = self.min_r2
+        return config
+
+    # ------------------------------------------------------------------
+    def compute(self, nlist, positions, box):
+        """Generic route: same physics as the fast path, derived through
+        the standard capture vjp (works for packed nlists and planes)."""
+        from ..ops.direct import NlistPlanes
+        if isinstance(nlist, NlistPlanes):
+            r2 = nlist.r2()
+            tj = nlist.type
+        else:
+            n3 = nlist[..., :3]
+            r2 = jnp.sum(n3 * n3, axis=-1)
+            tj = nlist[..., 3] if nlist.shape[-1] > 3 else None
+        pad = r2 > 0
+        r2s = jnp.where(pad, jnp.maximum(r2, self.min_r2),
+                        jnp.ones_like(r2))
+        if self.pair_with_types:
+            ti = positions[:, 3][:, None]
+            U = self.pair_energy(r2s, ti, tj)
+        else:
+            U = self.pair_energy(r2s)
+        energy = 0.5 * jnp.sum(jnp.where(pad, U, jnp.zeros_like(U)),
+                               axis=1)
+        return compute_nlist_forces(nlist, energy, virial=self.virial)

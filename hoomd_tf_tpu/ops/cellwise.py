@@ -50,7 +50,8 @@ from .cell_list import CellList
 from .direct import NlistPlanes
 
 __all__ = ["Cellwise", "CellwisePlan", "plan_cellwise", "cellwise_planes",
-           "repack_order", "slot_cell_centers", "bin_cells"]
+           "analytic_pair_forces", "repack_order", "slot_cell_centers",
+           "bin_cells"]
 
 
 class Cellwise(CellList):
@@ -111,7 +112,8 @@ class CellwisePlan:
 
 
 def _measured_occupancy(positions, lo, lengths, dims):
-    """Max and mean particles-per-cell for concrete positions (host)."""
+    """Max, mean and std of particles-per-cell for concrete positions
+    (host)."""
     pos = np.asarray(positions)[:, :3].astype(np.float64)
     lengths = np.asarray(lengths, dtype=np.float64)
     frac = (pos - np.asarray(lo)) / lengths
@@ -120,15 +122,20 @@ def _measured_occupancy(positions, lo, lengths, dims):
     xyz = np.minimum((frac * dims).astype(np.int64), dims - 1)
     cid = xyz[:, 0] + dims[0] * (xyz[:, 1] + dims[1] * xyz[:, 2])
     counts = np.bincount(cid, minlength=int(np.prod(dims)))
-    return int(counts.max()), float(counts.mean())
+    return int(counts.max()), float(counts.mean()), float(counts.std())
 
 
-# Measured on TPU v5e (docs/performance.md): one fused pair lane costs
-# ~25 ps (forward + vjp of an LJ-like model), one slot of repack costs
-# ~100 ns (argsort + the permutation scatters). Only the ~1:4000 ratio
-# matters -- it trades candidate-plane width against repack frequency.
-_PAIR_LANE_COST = 25e-12
+# Measured on TPU v5e (docs/performance.md): one *padded* pair lane
+# costs ~17 ps (analytic forward) to ~25 ps (vjp route), one slot of
+# repack costs ~100 ns (argsort + the permutation scatters). Only the
+# ratio matters -- it trades candidate-plane width against repack
+# frequency.
+_PAIR_LANE_COST = 17e-12
 _REPACK_SLOT_COST = 100e-9
+
+
+def _pad_to(x, m):
+    return -(-x // m) * m
 
 
 def plan_cellwise(n, box_lengths, r_cut, config=None, positions=None,
@@ -190,13 +197,19 @@ def plan_cellwise(n, box_lengths, r_cut, config=None, positions=None,
         if config.capacity is not None:
             cap = int(config.capacity)
         elif positions is not None:
-            occ_max, _ = _measured_occupancy(positions, lo, lengths, dims)
+            occ_max, _, _ = _measured_occupancy(
+                positions, lo, lengths, dims)
             cap = max(occ_max, est) + 3
         else:
             cap = est + 4
         n_cells = int(np.prod(dims))
         skin = min(edges) - r_cut
-        cost = 27 * n_cells * cap * cap * _PAIR_LANE_COST
+        # the hot arrays are [n_cells, cap, 27*cap], tiled (8, 128) on
+        # the last two dims -- the *padded* lane count is what executes.
+        # (A grid whose raw cap*C is smaller can easily be slower: e.g.
+        # cap 26 pads to 32 sublanes, a 23% hidden tax.)
+        cost = (n_cells * _pad_to(cap, 8) * _pad_to(27 * cap, 128) *
+                _PAIR_LANE_COST)
         if drift_per_step and drift_per_step > 0:
             interval = max(1.0, (skin * 0.98 / 2.0) / drift_per_step)
             cost += n_cells * cap * _REPACK_SLOT_COST / interval
@@ -298,6 +311,127 @@ def cellwise_planes(positions, types, valid, plan, rcut_matrix=None):
         dx=sel(ddx), dy=sel(ddy), dz=sel(ddz),
         type=jnp.where(ok, gt.reshape(n_cells, 1, C),
                        zero).reshape(n_slots, C))
+
+
+def analytic_pair_forces(positions, types, valid, plan, lo, pair_fn,
+                         needs_virial=False, min_r2=1e-4, with_types=False):
+    """Forces/energy (and optionally virial) for a pair potential on
+    slot-resident state, computed *analytically forward-only* -- the fast
+    path behind :class:`..models.pair.PairModel`.
+
+    The generic planes route evaluates the potential twice (forward +
+    vjp replay, each rematerializing the candidate planes). For a pair
+    potential ``U(r^2, t_i, t_j)`` the per-pair force coefficient is just
+    ``dU/d(r^2)``, obtained in the same forward pass with one
+    ``jax.jvp`` -- measured 1.5x faster than the vjp route at 64k
+    particles on v5e (1.96 vs 2.90 ms; a hand-written Pallas version of
+    the same loop was *slower* than this XLA-fused form, 2.12 ms, and an
+    MXU distance-matrix formulation needs f32-precision passes that cost
+    more than they save -- see docs/performance.md).
+
+    Design notes, all load-bearing:
+
+    - Displacements come from *cell-relative* coordinates plus a static
+      per-stencil-direction offset, so there is no min-image round() on
+      the hot loop: ``x_j - x_i = (q_j + off_k) - q_i`` exactly, for
+      cells >= 3 per axis and in-range pairs.
+    - The self-pair is excluded *structurally* (candidate column
+      ``13*cap + k`` of row ``k`` is the particle itself). A small-r2
+      threshold cannot do this: the expanded distance form loses ~1e-5
+      absolute to f32 rounding, which leaks the self-pair through any
+      tiny threshold with catastrophic r^-12 amplification.
+    - Ghost slots are pushed ``FAR`` out along x instead of carrying a
+      validity plane -- one fused add instead of a [rows, C] mask input.
+    - ``r2`` is clamped to ``min_r2`` before the user function so
+      overlapping (unphysical) pairs produce huge-but-finite f32 forces
+      instead of inf/NaN.
+
+    :param positions: ``[n_slots, 3]`` slot positions.
+    :param types: ``[n_slots]`` integer types (used when ``with_types``).
+    :param valid: ``[n_slots]`` 1.0 real / 0.0 ghost.
+    :param plan: the :class:`CellwisePlan`.
+    :param lo: box lower corner (static).
+    :param pair_fn: ``U(r2)`` or ``U(r2, type_i, type_j)`` -- full pair
+        energy per lane (masked lanes are forced to zero afterwards).
+    :param needs_virial: also return the per-particle virial
+        ``[n_slots, 3, 3]`` (else ``None``).
+    :param min_r2: overlap clamp (see above).
+    :param with_types: pass type planes to ``pair_fn``.
+    :returns: ``(forces4 [n_slots, 4], virial or None)`` with
+        per-particle energy in force column 4; ghost rows all zero.
+    """
+    dtype = positions.dtype
+    n_cells, cap, C = plan.n_cells, plan.capacity, plan.width
+    rc2 = jnp.asarray(plan.r_cut * plan.r_cut, dtype=dtype)
+    L3 = jnp.asarray(plan.lengths, dtype=dtype)
+    ex, ey, ez = plan.edges
+    offs = np.array([(ox * ex, oy * ey, oz * ez) for (ox, oy, oz) in
+                     _OFFS], dtype=np.float32)
+    FAR = 4.0 * float(max(plan.lengths))
+
+    centers = slot_cell_centers(plan, lo, dtype)
+    q = positions - centers
+    # wrap: unwrapped trajectories may place a particle many boxes from
+    # its (wrapped-binning) cell; the relative coordinate is the
+    # physical position modulo box
+    q = q - jnp.round(q / L3) * L3
+    qx = q[:, 0] + (1.0 - valid) * FAR
+    qy, qz = q[:, 1], q[:, 2]
+
+    gx = _roll27(qx, plan) + jnp.asarray(np.repeat(offs[:, 0], cap))
+    gy = _roll27(qy, plan) + jnp.asarray(np.repeat(offs[:, 1], cap))
+    gz = _roll27(qz, plan) + jnp.asarray(np.repeat(offs[:, 2], cap))
+
+    qxr = qx.reshape(n_cells, cap)
+    qyr = qy.reshape(n_cells, cap)
+    qzr = qz.reshape(n_cells, cap)
+    dx = gx[:, None, :] - qxr[:, :, None]
+    dy = gy[:, None, :] - qyr[:, :, None]
+    dz = gz[:, None, :] - qzr[:, :, None]
+    d2 = dx * dx + dy * dy + dz * dz
+
+    row = jnp.arange(cap)[:, None]
+    col = jnp.arange(C)[None, :]
+    not_self = (col != 13 * cap + row)[None, :, :]
+    ok = (d2 <= rc2) & not_self
+    r2_eval = jnp.maximum(d2, jnp.asarray(min_r2, dtype=dtype))
+
+    if with_types:
+        tt = types.astype(dtype)
+        gt = _roll27(tt, plan)
+        ti = tt.reshape(n_cells, cap)[:, :, None]
+        tj = gt[:, None, :]
+        fn = lambda r2: pair_fn(r2, ti, tj)
+    else:
+        fn = pair_fn
+    # value and elementwise d/d(r2) in one forward pass
+    U, dU = jax.jvp(fn, (r2_eval,), (jnp.ones_like(r2_eval),))
+    zero = jnp.zeros((), dtype=dtype)
+    g = jnp.where(ok, U, zero)          # full pair energy per lane
+    s = jnp.where(ok, dU, zero)
+    # e_i = sum_j U/2 (each pair counted from both rows);
+    # F_i = -2 * sum_j U'(d2) * (x_i - x_j) = 2 * sum_j U' * d
+    e = 0.5 * jnp.sum(g, axis=2).reshape(-1)
+    fx = 2.0 * jnp.sum(s * dx, axis=2).reshape(-1)
+    fy = 2.0 * jnp.sum(s * dy, axis=2).reshape(-1)
+    fz = 2.0 * jnp.sum(s * dz, axis=2).reshape(-1)
+    forces4 = jnp.stack([fx, fy, fz, e], axis=-1) * valid[:, None]
+
+    virial = None
+    if needs_virial:
+        # W_i = -sum_j U'(d2) * d (x) d -- identical to
+        # ops/forces._compute_virial with f_ij = 2 s d (HOOMD sign:
+        # positive diagonal for repulsion)
+        def acc(da, db):
+            return -jnp.sum(s * da * db, axis=2).reshape(-1)
+        wxx, wyy, wzz = acc(dx, dx), acc(dy, dy), acc(dz, dz)
+        wxy, wxz, wyz = acc(dx, dy), acc(dx, dz), acc(dy, dz)
+        W = jnp.stack([
+            jnp.stack([wxx, wxy, wxz], -1),
+            jnp.stack([wxy, wyy, wyz], -1),
+            jnp.stack([wxz, wyz, wzz], -1)], -2)
+        virial = W * valid[:, None, None]
+    return forces4, virial
 
 
 def repack_order(positions, valid, lo, plan):

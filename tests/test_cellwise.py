@@ -95,13 +95,16 @@ class TestPlan:
         pos = rng.uniform(-12, 12, size=(2000, 3)).astype(np.float32)
         plan = cw.plan_cellwise(2000, [24.0] * 3, 3.0, positions=pos)
         assert plan is not None
-        work = 27 * plan.n_cells * plan.capacity ** 2
+        pad = cw._pad_to
+        work = (plan.n_cells * pad(plan.capacity, 8) *
+                pad(27 * plan.capacity, 128))
         # the finest grid (floor(24/3) = 8 cells/axis) is one candidate;
-        # whatever was picked must be at least as cheap as it
-        occ_max, _ = cw._measured_occupancy(pos, [-12.0] * 3, [24.0] * 3,
-                                            (8, 8, 8))
+        # whatever was picked must be at least as cheap as it (in padded
+        # lanes -- what actually executes on the (8, 128)-tiled arrays)
+        occ_max, _, _ = cw._measured_occupancy(
+            pos, [-12.0] * 3, [24.0] * 3, (8, 8, 8))
         fine_cap = occ_max + max(3, int(np.ceil(0.15 * occ_max)))
-        assert work <= 27 * 8 ** 3 * fine_cap ** 2
+        assert work <= 8 ** 3 * pad(fine_cap, 8) * pad(27 * fine_cap, 128)
 
 
 class TestPlanesCorrectness:

@@ -1,0 +1,205 @@
+"""PairModel: the analytic pair-potential fast path vs the generic
+vjp route -- identical physics on every path (packed nlist, cellwise
+planes, cellwise analytic)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import hoomd_tf_tpu as htf
+import zoo
+
+
+class PairLJ(htf.PairModel):
+    def pair_energy(self, r2):
+        u = 1.0 / r2
+        sr6 = u * u * u
+        return 4.0 * (sr6 * sr6 - sr6)
+
+
+class TypedPairLJ(htf.PairModel):
+    """eps depends on the type pair: eps=1 for (0,0), 0.5 otherwise."""
+
+    def pair_energy(self, r2, type_i, type_j):
+        u = 1.0 / r2
+        sr6 = u * u * u
+        eps = jnp.where((type_i == 0) & (type_j == 0), 1.0, 0.5)
+        return 4.0 * eps * (sr6 * sr6 - sr6)
+
+
+class TrainablePairLJ(htf.PairModel):
+    def setup(self):
+        self.eps = htf.Variable(0.8, name="eps")
+
+    def pair_energy(self, r2):
+        u = 1.0 / r2
+        sr6 = u * u * u
+        return 4.0 * self.eps.value * (sr6 * sr6 - sr6)
+
+
+def make_fluid(n=64, seed=0, kT=0.9):
+    sim = htf.Simulation(dt=0.002, seed=seed,
+                         integrator=htf.md.NVT(kT=kT, tau=0.5))
+    sim.init_lattice(n, density=0.35, kT_init=kT)
+    rng = np.random.RandomState(seed)
+    sim.state = dataclasses.replace(
+        sim.state, positions=sim.state.positions +
+        0.05 * jnp.asarray(rng.randn(n, 3).astype(np.float32)))
+    return sim
+
+
+class TestFallbackCompute:
+    def test_matches_simmodel_lj(self):
+        """PairModel's generic compute == a hand-written LJ SimModel."""
+        n = 32
+        sim = make_fluid(n)
+        nlist = htf.compute_nlist(sim.state.positions4, 2.5, 16,
+                                  htf.box_size(sim.state.box),
+                                  sorted=True, return_types=True)
+        inputs = [nlist, sim.state.positions4, sim.state.box]
+        ref = zoo.LJModel(16)(inputs)
+        got = PairLJ(16)(inputs)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_virial_matches(self):
+        n = 27
+        sim = make_fluid(n)
+        nlist = htf.compute_nlist(sim.state.positions4, 2.5, 16,
+                                  htf.box_size(sim.state.box),
+                                  sorted=True, return_types=True)
+        inputs = [nlist, sim.state.positions4, sim.state.box]
+        ref = zoo.LJVirialModel(16, virial=True)(inputs)
+        got = PairLJ(16, virial=True)(inputs)
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                                   rtol=2e-4, atol=2e-4)
+
+
+class TestCellwiseFastPath:
+    def test_trajectory_matches_generic_model(self):
+        """A cellwise run with PairLJ reproduces the same run with the
+        equivalent generic SimModel (which uses the planes + vjp route)."""
+        def trajectory(model_cls):
+            sim = make_fluid(125, seed=2)
+            tfc = htf.tfcompute(model_cls(16))
+            tfc.attach(sim, r_cut=2.0, nlist="cellwise")
+            sim.run(15)
+            return np.asarray(sim.state.positions)
+
+        np.testing.assert_allclose(trajectory(PairLJ),
+                                   trajectory(zoo.LJModel),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_forces_and_energy_match(self):
+        sim = make_fluid(125, seed=3)
+        tfc = htf.tfcompute(PairLJ(16))
+        tfc.attach(sim, r_cut=2.0, nlist="cellwise")
+        sim.run(2)
+        f_fast = tfc.get_forces_array()
+
+        sim2 = make_fluid(125, seed=3)
+        tfc2 = htf.tfcompute(zoo.LJModel(16))
+        tfc2.attach(sim2, r_cut=2.0, nlist="cellwise")
+        sim2.run(2)
+        f_ref = tfc2.get_forces_array()
+        np.testing.assert_allclose(f_fast, f_ref, rtol=1e-4, atol=1e-4)
+
+    def test_pressure_matches(self):
+        """Virial through the analytic fast path: logged pressure equals
+        the generic route's."""
+        def pressure(model_cls, **kw):
+            sim = make_fluid(125, seed=4)
+            tfc = htf.tfcompute(model_cls(16, **kw))
+            tfc.attach(sim, r_cut=2.0, nlist="cellwise")
+            sim.run(5, log_period=1)
+            return sim.log["pressure"]
+
+        np.testing.assert_allclose(
+            pressure(PairLJ, virial=True),
+            pressure(zoo.LJVirialModel, virial=True),
+            rtol=1e-4, atol=1e-5)
+
+    def test_typed_pair_energy(self):
+        """Typed pair_energy on the fast path vs the same model through
+        the dense route."""
+        n = 125
+        types = np.arange(n) % 2
+
+        def run(nlist_mode):
+            sim = make_fluid(n, seed=5)
+            sim.state = dataclasses.replace(
+                sim.state, types=jnp.asarray(types, dtype=jnp.int32))
+            tfc = htf.tfcompute(TypedPairLJ(24))
+            tfc.attach(sim, r_cut=2.0, nlist=nlist_mode)
+            sim.run(5)
+            return np.asarray(sim.state.positions)
+
+        np.testing.assert_allclose(run("cellwise"), run("n2"),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_variables_resolve_on_fast_path(self):
+        """pair_energy reading a Variable works under the fast path."""
+        def traj(eps):
+            sim = make_fluid(125, seed=6)
+            m = TrainablePairLJ(16)
+            m.ensure_built([jnp.zeros((1, 1, 4)), jnp.zeros((1, 4)),
+                            sim.state.box], training=False)
+            m.eps.assign(eps)
+            tfc = htf.tfcompute(m)
+            tfc.attach(sim, r_cut=2.0, nlist="cellwise")
+            sim.run(5)
+            return np.asarray(sim.state.positions)
+
+        a, b = traj(0.4), traj(1.2)
+        assert np.abs(a - b).max() > 1e-5  # eps actually flows through
+
+    def test_period_gating(self):
+        """Stale-force persistence works with the fast path."""
+        sim = make_fluid(125, seed=7)
+        tfc = htf.tfcompute(PairLJ(16))
+        tfc.attach(sim, r_cut=2.0, nlist="cellwise", period=3)
+        sim.run(7)
+        assert np.all(np.isfinite(np.asarray(sim.state.positions)))
+
+    def test_nve_energy_conservation(self):
+        """The analytic force is the exact gradient: NVE conserves
+        energy through repacks."""
+        sim = htf.Simulation(dt=0.001, seed=8)
+        sim.init_lattice(216, density=0.3, kT_init=0.4)
+        tfc = htf.tfcompute(PairLJ(24))
+        tfc.attach(sim, r_cut=2.5, nlist="cellwise")
+        sim.run(10, log_period=1)
+        e = sim.log["potential_energy"] + sim.log["kinetic_energy"]
+        drift = np.abs(e - e[0]).max() / max(abs(e[0]), 1e-9)
+        assert drift < 5e-4
+
+
+class TestReplan:
+    def test_replan_continues_trajectory(self):
+        sim = make_fluid(125, seed=9)
+        tfc = htf.tfcompute(PairLJ(16))
+        tfc.attach(sim, r_cut=2.0, nlist="cellwise")
+        sim.run(10)
+        pos_before = np.asarray(sim.state.positions)
+        sim.replan()
+        sim.run(5)
+        assert np.all(np.isfinite(np.asarray(sim.state.positions)))
+        assert np.abs(np.asarray(sim.state.positions) -
+                      pos_before).max() > 0
+
+
+class TestValidation:
+    def test_unimplemented_pair_energy_raises(self):
+        with pytest.raises((NotImplementedError, AttributeError)):
+            m = htf.PairModel(8)
+            m.pair_energy(jnp.ones((2, 2)))
+
+    def test_bad_arity_raises(self):
+        class Bad(htf.PairModel):
+            def pair_energy(self, r2, type_i):
+                return r2
+
+        with pytest.raises(ValueError, match="pair_energy"):
+            Bad(8)
