@@ -82,6 +82,48 @@ class LennardJones:
 
         return pair_force_from_energy_fn(energy)(state, nlist)
 
+    def pair_energy(self, r2, type_i, type_j):
+        """Full pair energy from r^2 (the analytic cellwise fast path;
+        see ops/cellwise.analytic_pair_forces)."""
+        eps, sig = self.epsilon, self.sigma
+        if eps.ndim == 2:
+            ti = type_i.astype(jnp.int32)
+            tj = type_j.astype(jnp.int32)
+            e = eps[ti, tj]
+            s = sig[ti, tj]
+        else:
+            e, s = eps, sig
+        inv = 1.0 / r2
+        sr6 = (s * s * inv) ** 3
+        u = 4.0 * e * (sr6 * sr6 - sr6)
+        if self.shift:
+            sc6 = (s / self.r_cut) ** 6
+            u = u - 4.0 * e * (sc6 * sc6 - sc6)
+        inside = r2 <= self.r_cut * self.r_cut
+        return jnp.where(inside, u, jnp.zeros_like(u))
+
+    def pair_energy_and_slope(self, r2, type_i, type_j):
+        """(U, dU/dr2) sharing sr6 between energy and slope (the fast
+        form the analytic route prefers)."""
+        eps, sig = self.epsilon, self.sigma
+        if eps.ndim == 2:
+            ti = type_i.astype(jnp.int32)
+            tj = type_j.astype(jnp.int32)
+            e = eps[ti, tj]
+            s = sig[ti, tj]
+        else:
+            e, s = eps, sig
+        inv = 1.0 / r2
+        sr6 = (s * s * inv) ** 3
+        u = 4.0 * e * (sr6 * sr6 - sr6)
+        du = -12.0 * e * (2.0 * sr6 - 1.0) * sr6 * inv
+        if self.shift:
+            sc6 = (s / self.r_cut) ** 6
+            u = u - 4.0 * e * (sc6 * sc6 - sc6)
+        inside = r2 <= self.r_cut * self.r_cut
+        zero = jnp.zeros_like(u)
+        return jnp.where(inside, u, zero), jnp.where(inside, du, zero)
+
 
 class WCA:
     """Weeks-Chandler-Anderson (purely repulsive shifted LJ).
@@ -107,3 +149,24 @@ class WCA:
             return jnp.where(inside, u, jnp.zeros_like(u)) / 2.0
 
         return pair_force_from_energy_fn(energy)(state, nlist)
+
+    def pair_energy(self, r2, type_i, type_j):
+        """Full pair energy from r^2 (the analytic cellwise fast path)."""
+        eps, sig = self.epsilon, self.sigma
+        r_min = 2.0 ** (1 / 6)
+        inv = 1.0 / r2
+        sr6 = (sig * sig * inv) ** 3
+        u = 4.0 * eps * (sr6 * sr6 - sr6) + eps
+        inside = r2 < (sig * r_min) ** 2
+        return jnp.where(inside, u, jnp.zeros_like(u))
+
+    def pair_energy_and_slope(self, r2, type_i, type_j):
+        eps, sig = self.epsilon, self.sigma
+        r_min = 2.0 ** (1 / 6)
+        inv = 1.0 / r2
+        sr6 = (sig * sig * inv) ** 3
+        u = 4.0 * eps * (sr6 * sr6 - sr6) + eps
+        du = -12.0 * eps * (2.0 * sr6 - 1.0) * sr6 * inv
+        inside = r2 < (sig * r_min) ** 2
+        zero = jnp.zeros_like(u)
+        return jnp.where(inside, u, zero), jnp.where(inside, du, zero)

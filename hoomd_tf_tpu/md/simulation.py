@@ -384,6 +384,13 @@ class Simulation:
                      not train and isinstance(model, PairModel) and
                      model.output_forces and n_extras == 0 and
                      not tfc.batch_size and layout.rc_matrix is None)
+        # built-in pair potentials (LJ/WCA) also take the analytic route
+        # in cellwise mode -- this speeds both plain built-in runs and
+        # the per-step training labels of the online-learning path
+        builtin_fast = (layout is not None and layout.rc_matrix is None
+                        and bool(self.forces) and
+                        all(hasattr(f, "pair_energy")
+                            for f in self.forces))
 
         def model_inputs(state, nlist, with_labels=False, labels=None):
             # optimization_barrier: without it XLA occasionally fuses the
@@ -478,6 +485,34 @@ class Simulation:
             # per-batch output appends (tensorflowcompute.py:331-339)
             return forces4, virial, extras_c, new_mv
 
+        def builtin_forces(state, aux, nlist, subset=None):
+            """Built-in force sum; analytic route on slot state when
+            every selected force declares pair_energy."""
+            lst = subset if subset is not None else self.forces
+            if (builtin_fast and aux is not None and
+                    all(hasattr(f, "pair_energy") for f in lst)):
+                n = state.n_particles
+                dtype = state.positions.dtype
+                f = jnp.zeros((n, 4), dtype=dtype)
+                w = jnp.zeros((n, 3, 3), dtype=dtype)
+                for force in lst:
+                    if hasattr(force, "pair_energy_and_slope"):
+                        su = force.pair_energy_and_slope
+                    else:
+                        pe = force.pair_energy
+
+                        def su(r2, ti, tj, pe=pe):
+                            return jax.jvp(lambda x: pe(x, ti, tj),
+                                           (r2,), (jnp.ones_like(r2),))
+                    fi, wi = _cw.analytic_pair_forces(
+                        state.positions, state.types, aux["valid"],
+                        layout.plan, layout.lo, su,
+                        needs_virial=True, with_types=True)
+                    f = f + fi
+                    w = w + wi
+                return f, w
+            return self._builtin_forces(state, nlist, subset=subset)
+
         def fast_eval(mv, state, aux):
             """Analytic pair-force evaluation on slot state (the
             PairModel fast path; replaces eval_model + plane build)."""
@@ -486,7 +521,7 @@ class Simulation:
             def run():
                 return _cw.analytic_pair_forces(
                     state.positions, state.types, aux["valid"],
-                    layout.plan, layout.lo, model.pair_energy,
+                    layout.plan, layout.lo, model.pair_energy_and_slope,
                     needs_virial=self._step_flags(log)[1],
                     min_r2=model.min_r2,
                     with_types=model.pair_with_types)
@@ -578,12 +613,13 @@ class Simulation:
                     model_forces = out[2]
                 if carry_mvir:
                     model_virial = out[3]
-                if pair_fast and not self.forces:
-                    # the fast path needs no candidate planes; built-in
-                    # forces (if any) still do
-                    nlist = None
-                else:
+                model_needs_planes = train or not pair_fast
+                builtins_need_planes = bool(self.forces) and \
+                    not builtin_fast
+                if model_needs_planes or builtins_need_planes:
                     nlist = layout.planes(state, aux)
+                else:
+                    nlist = None
                 cell_overflow = aux["overflow"]
             else:
                 # CG mapped positions write-back (reference precompute,
@@ -627,13 +663,14 @@ class Simulation:
                             jax.lax.cond(recompute, do_eval, keep,
                                          (mv, model_forces, model_virial))
                         f_now, w_now = model_forces, model_virial
-                    f_b, w_b = self._builtin_forces(state, nlist)
+                    f_b, w_b = builtin_forces(state, aux, nlist)
                     net_f = f_b + f_now
                     net_w = (w_b + w_now) if needs_virial else None
                 else:
                     # labels: selected reference forces, or all built-ins
-                    f_ref, w_ref = self._builtin_forces(
-                        state, nlist, subset=tfc.reference_forces or None)
+                    f_ref, w_ref = builtin_forces(
+                        state, aux, nlist,
+                        subset=tfc.reference_forces or None)
                     if always_eval:
                         loss, extras, mv, opt_state = train_model(
                             mv, opt_state, state, nlist, f_ref)
@@ -652,11 +689,11 @@ class Simulation:
 
                         mv, opt_state, loss, extras = jax.lax.cond(
                             recompute, do_train, keep, (mv, opt_state))
-                    f_b, w_b = self._builtin_forces(state, nlist)
+                    f_b, w_b = builtin_forces(state, aux, nlist)
                     net_f = f_b
                     net_w = w_b if needs_virial else None
             else:
-                f_b, w_b = self._builtin_forces(state, nlist)
+                f_b, w_b = builtin_forces(state, aux, nlist)
                 net_f = f_b
                 net_w = w_b if needs_virial else None
 

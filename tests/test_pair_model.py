@@ -203,3 +203,134 @@ class TestValidation:
 
         with pytest.raises(ValueError, match="pair_energy"):
             Bad(8)
+
+
+class TestBuiltinAnalyticRoute:
+    """Built-in pair potentials (LJ/WCA) take the analytic route in
+    cellwise mode -- identical trajectories and virial vs the generic
+    planes route (nlist='n2' baseline forces the generic path)."""
+
+    def test_builtin_lj_trajectory_parity(self):
+        def traj(nlist_mode):
+            sim = make_fluid(125, seed=11)
+            sim.add_force(htf.md.LennardJones(r_cut=2.0))
+            obs = htf.tfcompute(_Observer(16, output_forces=False))
+            obs.attach(sim, r_cut=2.0, nlist=nlist_mode)
+            sim.run(10, log_period=2)
+            return (np.asarray(sim.state.positions),
+                    sim.log["pressure"])
+
+        p_cw, pr_cw = traj("cellwise")
+        p_n2, pr_n2 = traj("n2")
+        np.testing.assert_allclose(p_cw, p_n2, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(pr_cw, pr_n2, rtol=1e-4, atol=1e-5)
+
+    def test_builtin_wca_parity(self):
+        def traj(nlist_mode):
+            sim = make_fluid(125, seed=12, kT=0.5)
+            sim.add_force(htf.md.WCA(sigma=1.0))
+            obs = htf.tfcompute(_Observer(16, output_forces=False))
+            obs.attach(sim, r_cut=2.0, nlist=nlist_mode)
+            sim.run(8)
+            return np.asarray(sim.state.positions)
+
+        np.testing.assert_allclose(traj("cellwise"), traj("n2"),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_typed_builtin_lj_parity(self):
+        eps = np.array([[1.0, 0.5], [0.5, 0.8]], np.float32)
+        sig = np.ones((2, 2), np.float32)
+
+        def traj(nlist_mode):
+            sim = make_fluid(125, seed=13)
+            sim.state = dataclasses.replace(
+                sim.state,
+                types=jnp.asarray(np.arange(125) % 2, dtype=jnp.int32))
+            sim.add_force(htf.md.LennardJones(epsilon=eps, sigma=sig,
+                                              r_cut=2.0))
+            obs = htf.tfcompute(_Observer(16, output_forces=False))
+            obs.attach(sim, r_cut=2.0, nlist=nlist_mode)
+            sim.run(8)
+            return np.asarray(sim.state.positions)
+
+        np.testing.assert_allclose(traj("cellwise"), traj("n2"),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_online_training_with_analytic_labels(self):
+        """Training against analytic-builtin labels learns: the
+        trainable eps moves toward the label potential's eps=1."""
+        sim = make_fluid(125, seed=14)
+        sim.add_force(htf.md.LennardJones(r_cut=2.0))
+        model = _TrainableLJPlanes(16)
+        model.compile(optimizer="adam", loss="mse", learning_rate=2e-2)
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=2.0, nlist="cellwise", train=True)
+        sim.run(40)
+        losses = np.asarray(tfc.loss_history)
+        assert np.all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+        assert float(model.eps.value) > 0.55  # moved from 0.5 toward 1
+
+
+class _Observer(htf.SimModel):
+    def compute(self, nlist):
+        return jnp.zeros(())
+
+
+class _TrainableLJPlanes(htf.SimModel):
+    """Planes-compatible trainable model (uses nlist_rinv, no packed
+    indexing)."""
+
+    def setup(self):
+        self.eps = htf.Variable(0.5, name="eps")
+
+    def compute(self, nlist, positions, box):
+        rinv = htf.nlist_rinv(nlist)
+        iv6 = rinv ** 6
+        e = jnp.sum(4.0 / 2.0 * self.eps.value * (iv6 * iv6 - iv6),
+                    axis=1)
+        return htf.compute_nlist_forces(nlist, e)
+
+
+class TestSlopeOverride:
+    def test_override_matches_jvp_default(self):
+        """A hand-written pair_energy_and_slope must reproduce the jvp
+        default exactly (engine physics does not depend on which form
+        the model provides)."""
+        class Fast(htf.PairModel):
+            def pair_energy(self, r2):
+                u = 1.0 / r2
+                sr6 = u * u * u
+                return 4.0 * (sr6 * sr6 - sr6)
+
+            def pair_energy_and_slope(self, r2):
+                u = 1.0 / r2
+                sr6 = u * u * u
+                return (4.0 * (sr6 * sr6 - sr6),
+                        -12.0 * (2.0 * sr6 - 1.0) * sr6 * u)
+
+        def traj(cls):
+            sim = make_fluid(125, seed=15)
+            tfc = htf.tfcompute(cls(16))
+            tfc.attach(sim, r_cut=2.0, nlist="cellwise")
+            sim.run(10)
+            return np.asarray(sim.state.positions)
+
+        np.testing.assert_allclose(traj(Fast), traj(PairLJ),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_builtin_slope_matches_jvp(self):
+        """Builtin LJ's hand slope == jvp of its pair_energy."""
+        import jax
+        lj = htf.md.LennardJones(epsilon=0.8, sigma=1.1, r_cut=2.5)
+        r2 = jnp.linspace(0.5, 8.0, 64).reshape(8, 8)
+        ti = tj = jnp.zeros_like(r2)
+        u_fast, du_fast = lj.pair_energy_and_slope(r2, ti, tj)
+        u_ref, du_ref = jax.jvp(
+            lambda x: lj.pair_energy(x, ti, tj), (r2,),
+            (jnp.ones_like(r2),))
+        np.testing.assert_allclose(np.asarray(u_fast), np.asarray(u_ref),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(du_fast),
+                                   np.asarray(du_ref), rtol=1e-5,
+                                   atol=1e-6)
