@@ -30,7 +30,38 @@ class LJ(htf.SimModel):
         return htf.compute_nlist_forces(nlist, energy)
 
 
-def bench_config(n, nn, steps, equil, rounds, nlist_mode=None):
+class LJPair(htf.PairModel):
+    """The analytic-fast-path form of the same potential."""
+
+    def pair_energy(self, r2):
+        u = 1.0 / r2
+        sr6 = u * u * u
+        return 4.0 * (sr6 * sr6 - sr6)
+
+    def pair_energy_and_slope(self, r2):
+        u = 1.0 / r2
+        sr6 = u * u * u
+        return (4.0 * (sr6 * sr6 - sr6),
+                -12.0 * (2.0 * sr6 - 1.0) * sr6 * u)
+
+
+class TrainableNN(htf.SimModel):
+    """Online-learning flagship: small NN potential trained against
+    built-in LJ labels every step (reference example 08 pattern)."""
+
+    def setup(self):
+        self.dense1 = htf.Dense(16)
+        self.last = htf.Dense(1)
+
+    def compute(self, nlist, positions, box):
+        rinv = htf.nlist_rinv(nlist)
+        x = jax.nn.tanh(self.dense1(rinv[..., None]))  # per-lane MLP
+        e = jnp.sum(self.last(x)[..., 0], axis=1)
+        return htf.compute_nlist_forces(nlist, e)
+
+
+def bench_config(n, nn, steps, equil, rounds, nlist_mode=None,
+                 model="simmodel", train=False, label=None):
     import dataclasses
     sim = htf.Simulation(dt=0.005, integrator=htf.md.NVT(kT=1.2, tau=0.5),
                          seed=0)
@@ -42,35 +73,88 @@ def bench_config(n, nn, steps, equil, rounds, nlist_mode=None):
     if nlist_mode is None:
         nlist_mode = ('direct' if jax.devices()[0].platform == 'tpu'
                       else 'auto')
-    tfc = htf.tfcompute(LJ(nn))
-    tfc.attach(sim, r_cut=3.0, nlist=nlist_mode)
+    if train:
+        sim.add_force(htf.md.LennardJones(r_cut=3.0))
+        m = TrainableNN(nn)
+        m.compile(optimizer="adam", loss="mse", learning_rate=1e-4)
+        tfc = htf.tfcompute(m)
+        tfc.attach(sim, r_cut=3.0, nlist=nlist_mode, train=True)
+    else:
+        cls = LJPair if model == "pair" else LJ
+        tfc = htf.tfcompute(cls(nn))
+        tfc.attach(sim, r_cut=3.0, nlist=nlist_mode)
+    if nlist_mode == "cellwise":
+        sim.run(equil)
+        jax.block_until_ready(sim.state.positions)
+        sim.replan()   # tighten capacity on equilibrated occupancy
+        equil = max(equil // 4, 10)
     result = benchmark_simulation(sim, steps=steps,
                                   equilibration=equil, reps=rounds)
-    result.update({"n_particles": n, "nn": nn,
-                   "nlist_mode": nlist_mode})
+    result.update({"n_particles": n, "nn": nn, "model": model,
+                   "train": train, "nlist_mode": nlist_mode})
+    if label:
+        result["label"] = label
     return result
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--subset", default=None,
+                        help="python slice over the config list, e.g. "
+                             "'3:' (full runs exceed one sitting through "
+                             "the remote-TPU tunnel)")
+    parser.add_argument("--merge", action="store_true",
+                        help="merge results into an existing json "
+                             "instead of overwriting")
     args = parser.parse_args()
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    configs = ([(256, 64, 200, 100, 2), (4096, 64, 100, 50, 2)]
-               if args.quick or not on_tpu else
-               [(256, 64, 1000, 4000, 5),      # the reference's config
-                (4096, 64, 500, 500, 3),
-                (65536, 64, 200, 200, 3)])     # the BASELINE.json target
+    if args.quick or not on_tpu:
+        configs = [dict(n=256, nn=64, steps=200, equil=100, rounds=2),
+                   dict(n=4096, nn=64, steps=100, equil=50, rounds=2)]
+    else:
+        configs = [
+            # the reference's config (its committed CPU number: 451/s)
+            dict(n=256, nn=64, steps=1000, equil=4000, rounds=5),
+            dict(n=4096, nn=64, steps=500, equil=500, rounds=3),
+            # the BASELINE.json target scale, three engine modes
+            dict(n=65536, nn=64, steps=200, equil=200, rounds=3,
+                 label="wide-direct, generic SimModel"),
+            dict(n=65536, nn=64, steps=500, equil=1000, rounds=3,
+                 nlist_mode="cellwise",
+                 label="cellwise, generic SimModel (planes + vjp)"),
+            dict(n=65536, nn=64, steps=500, equil=1000, rounds=3,
+                 nlist_mode="cellwise", model="pair",
+                 label="cellwise, PairModel analytic fast path"),
+            # online learning: NN potential trained on built-in LJ
+            # labels every step (reference example 08 pattern)
+            # (64k training compiles exceed one sitting through the
+            # remote tunnel; 16k exercises the same program shape)
+            dict(n=16384, nn=64, steps=100, equil=200, rounds=2,
+                 nlist_mode="cellwise", train=True,
+                 label="online training, NN model, analytic labels"),
+        ]
+
+    if args.subset:
+        a, _, b = args.subset.partition(":")
+        configs = configs[int(a) if a else None:int(b) if b else None]
 
     results = []
-    for n, nn, steps, equil, rounds in configs:
-        r = bench_config(n, nn, steps, equil, rounds)
+    for cfg in configs:
+        r = bench_config(**cfg)
         print(json.dumps(r))
         results.append(r)
 
     out = os.path.join(os.path.dirname(__file__),
                        f"results-{jax.devices()[0].platform}.json")
+    if args.merge and os.path.exists(out):
+        with open(out) as f:
+            prior = json.load(f).get("results", [])
+        keyf = lambda r: (r["n_particles"], r.get("nlist_mode"),
+                          r.get("model"), r.get("train"))
+        seen = {keyf(r) for r in results}
+        results = [r for r in prior if keyf(r) not in seen] + results
     with open(out, "w") as f:
         json.dump({
             "machine": platform.node(),

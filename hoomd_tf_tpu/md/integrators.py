@@ -1,4 +1,5 @@
-"""Integrators: NVE velocity-Verlet, Nose-Hoover NVT, Langevin, Brownian.
+"""Integrators: NVE velocity-Verlet, Nose-Hoover NVT, NPT, Langevin,
+Brownian.
 
 The reference delegates integration to HOOMD (``IntegratorTwoStep``); in the
 single-engine TPU design the integrator is part of the jitted step. Each
@@ -15,7 +16,7 @@ import jax.numpy as jnp
 
 from ..ops.box import box_size
 
-__all__ = ["NVE", "NVT", "Langevin", "Brownian"]
+__all__ = ["NVE", "NVT", "NPT", "Langevin", "Brownian"]
 
 
 def _wrap_positions(positions, box):
@@ -98,6 +99,58 @@ class NVT:
         v = _kick(state, dt / 2)
         state = dataclasses.replace(state, velocities=v)
         return self._thermo_half(state, dt)
+
+
+class NPT(NVT):
+    """Isothermal-isobaric ensemble: Nose-Hoover thermostat + Berendsen
+    barostat (weak coupling; box stays cubic-orthorhombic).
+
+    Beyond the reference's scope (it inherits whatever integrator HOOMD
+    runs) but natural in the single-engine design -- the box is part of
+    the carried state, so rescaling it is just another array op in the
+    jitted step.
+
+    Requires a neighbor strategy that tolerates a changing box:
+    ``nlist='n2'`` (the dense build reads the box dynamically). The
+    static-geometry modes (cell/direct/cellwise) plan their grid from
+    the initial box and raise a clear error when combined with a
+    box-changing integrator.
+
+    :param kT: target temperature.
+    :param tau: thermostat coupling time.
+    :param P: target pressure.
+    :param tauP: barostat coupling time.
+    :param kappa: isothermal compressibility used by the weak-coupling
+        scale factor (1.0 in LJ units is customary).
+    """
+
+    changes_box = True
+    needs_virial = True
+
+    def __init__(self, kT, tau, P, tauP=1.0, kappa=1.0):
+        super().__init__(kT, tau)
+        self.P = P
+        self.tauP = tauP
+        self.kappa = kappa
+
+    def post_force(self, state, dt):
+        import dataclasses
+        state = super().post_force(state, dt)
+        # instantaneous pressure from the fresh virial (the engine sets
+        # needs_virial for box-changing integrators)
+        bs = box_size(state.box)
+        vol = jnp.prod(bs)
+        ke2 = jnp.sum(state.masses[:, None] * state.velocities ** 2)
+        w = jnp.sum(jnp.trace(state.virial, axis1=-2, axis2=-1))
+        p_inst = (ke2 + w) / (3.0 * vol)
+        mu3 = 1.0 - self.kappa * dt / self.tauP * (self.P - p_inst)
+        mu = jnp.clip(mu3, 0.9, 1.1) ** (1.0 / 3.0)
+        center = 0.5 * (state.box[0] + state.box[1])
+        positions = center + mu * (state.positions - center)
+        box = jnp.stack([center + mu * (state.box[0] - center),
+                         center + mu * (state.box[1] - center),
+                         state.box[2]])
+        return dataclasses.replace(state, positions=positions, box=box)
 
 
 class Langevin:

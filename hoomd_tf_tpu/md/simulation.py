@@ -168,6 +168,11 @@ class Simulation:
         from ..ops.cellwise import Cellwise, plan_cellwise
         from .slots import SlotLayout
         tfc = self.tfc
+        if getattr(self.integrator, "changes_box", False):
+            raise ValueError(
+                "The cellwise neighbor mode plans static geometry from "
+                "the initial box; box-changing integrators (NPT) need "
+                "attach(nlist='n2')")
         lengths = np.asarray(box_size(self.state.box))
         lo = np.asarray(self.state.box[0])
         z_div = self.mesh.shape[self.shard_axis] if self.mesh else 1
@@ -218,6 +223,14 @@ class Simulation:
         method = getattr(tfc, "nlist_method", None) or "auto"
         lengths = np.asarray(box_size(self.state.box))
         n = self.state.n_particles
+        if getattr(self.integrator, "changes_box", False) and \
+                method != "n2":
+            if method != "auto":
+                raise ValueError(
+                    "Static-geometry neighbor modes (cell/direct) plan "
+                    "their grid from the initial box; box-changing "
+                    "integrators (NPT) need attach(nlist='n2')")
+            method = "n2"  # auto: fall back to the dynamic dense build
 
         config = method if isinstance(method, _cl.CellList) else \
             _cl.CellList()
@@ -354,6 +367,8 @@ class Simulation:
         tfc = self.tfc
         always_eval = tfc is None or tfc.period == 1
         needs_virial = bool(log or self.forces or
+                            getattr(self.integrator, "needs_virial",
+                                    False) or
                             (tfc is not None and tfc.model.virial))
         carry_mf = (tfc is not None and not tfc.train and not always_eval)
         carry_mvir = carry_mf and needs_virial

@@ -5,6 +5,7 @@ import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import hoomd_tf_tpu as htf
 import zoo
@@ -454,3 +455,45 @@ class TestBlockScan:
         sim.run(10)  # training at steps 0,3,6,9 across 3 blocks
         assert len(tfc.loss_history) == 4
         assert np.all(np.isfinite(tfc.loss_history))
+
+
+class TestNPT:
+    """Berendsen-barostat NPT (beyond reference scope; box in the carry)."""
+
+    def test_pressure_approaches_target(self):
+        n = 64
+        sim = htf.Simulation(
+            dt=0.002, seed=5,
+            integrator=htf.md.NPT(kT=0.9, tau=0.5, P=0.5, tauP=0.5))
+        sim.init_lattice(n, density=0.5, kT_init=0.9)
+        # the model must RETURN a virial: the barostat reads state.virial
+        model = zoo.LJVirialModel(n - 1, virial=True)
+        tfc = htf.tfcompute(model)
+        tfc.attach(sim, r_cut=2.5, nlist="n2")
+        vol0 = float(np.prod(np.asarray(htf.box_size(sim.state.box))))
+        sim.run(300, log_period=10)
+        vol1 = float(np.prod(np.asarray(htf.box_size(sim.state.box))))
+        p_late = float(np.mean(sim.log["pressure"][-15:]))
+        # the barostat regulates pressure around the target and the box
+        # volume responds (the cold lattice starts far from P=0.5)
+        assert abs(p_late - 0.5) < 0.4, p_late
+        assert abs(vol1 - vol0) > 1e-3
+        assert np.all(np.isfinite(np.asarray(sim.state.positions)))
+
+    def test_npt_with_static_geometry_mode_raises(self):
+        sim = htf.Simulation(
+            dt=0.002, integrator=htf.md.NPT(kT=0.9, tau=0.5, P=0.5))
+        sim.init_lattice(216, density=0.4, kT_init=0.9)
+        tfc = htf.tfcompute(zoo.LJVirialModel(24, virial=True))
+        tfc.attach(sim, r_cut=2.5, nlist="cellwise")
+        with pytest.raises(ValueError, match="n2"):
+            sim.run(2)
+
+    def test_npt_auto_falls_back_to_dense(self):
+        sim = htf.Simulation(
+            dt=0.002, integrator=htf.md.NPT(kT=0.9, tau=0.5, P=0.5))
+        sim.init_lattice(64, density=0.4, kT_init=0.9)
+        tfc = htf.tfcompute(zoo.LJVirialModel(24, virial=True))
+        tfc.attach(sim, r_cut=2.5)  # auto
+        sim.run(5)
+        assert np.all(np.isfinite(np.asarray(sim.state.positions)))
