@@ -20,6 +20,16 @@ import jax.numpy as jnp
 
 import hoomd_tf_tpu as htf
 
+# persistent compilation cache: the two 64k scan compiles dominate this
+# script's wall time (~6 min through the remote-TPU tunnel); repeat runs
+# hit the cache and finish in under a minute
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_htf"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass  # older jax without the knobs
+
 
 class LJ(htf.PairModel):
     """Flagship model: LJ declared as a pair potential, which the engine

@@ -19,6 +19,13 @@ import jax.numpy as jnp
 import numpy as np
 
 import hoomd_tf_tpu as htf
+
+try:  # persistent compile cache: repeat runs skip the ~1 min compiles
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_htf"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
 from hoomd_tf_tpu.utils.profiling import benchmark_simulation
 
 

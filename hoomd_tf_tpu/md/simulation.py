@@ -135,6 +135,35 @@ class Simulation:
             self.tfc._warmup_cache = None
 
     # ------------------------------------------------------------------
+    def _maybe_suggest_replan(self, layout):
+        """One-time hint when the current occupancy is far below the
+        planned capacity (pair work scales with capacity^2, so a stale
+        cold-start plan quietly costs 1.5-2x; see :meth:`replan`)."""
+        if getattr(layout, "_replan_hinted", False):
+            return
+        if int(np.asarray(self.state.step)) < 100:
+            return  # too early to judge (still equilibrating)
+        from ..ops.cellwise import _pad_to
+        layout._replan_hinted = True
+        fresh = self._plan_from_current()
+        if fresh is None:
+            return
+
+        def lanes(p):
+            return (p.n_cells * _pad_to(p.capacity, 8) *
+                    _pad_to(27 * p.capacity, 128))
+
+        cur, new = lanes(layout.plan), lanes(fresh)
+        if cur > 1.4 * new:
+            import warnings
+            warnings.warn(
+                f"the active cellwise plan (grid {layout.plan.grid}, "
+                f"capacity {layout.plan.capacity}) carries "
+                f"{cur / new:.1f}x the pair work a fresh plan would: "
+                "sim.replan() would recompile once and run faster",
+                stacklevel=3)
+
+    # ------------------------------------------------------------------
     def add_force(self, force):
         """Register a built-in force compute
         (``force(state, nlist) -> (forces [N,4], virial [N,3,3])``)."""
@@ -183,19 +212,7 @@ class Simulation:
                tuple(float(v) for v in lengths))
         if self._layout is not None and self._layout_key == key:
             return self._layout
-        method = getattr(tfc, "nlist_method", None)
-        config = method if isinstance(method, Cellwise) else None
-        # typical per-step drift for the planner's repack-frequency term
-        # (99th-percentile speed: the max is spiky and a single fast
-        # particle only triggers an occasional extra repack)
-        v = np.asarray(self.state.velocities)
-        vmag = np.sqrt((v * v).sum(-1)) if v.size else np.zeros(1)
-        drift = self.dt * float(np.percentile(vmag, 99)) \
-            if float(vmag.max()) > 0 else None
-        plan = plan_cellwise(
-            self.state.n_particles, lengths, tfc.r_cut, config=config,
-            positions=np.asarray(self.state.positions), lo=lo,
-            drift_per_step=drift, z_divisor=z_div)
+        plan = self._plan_from_current()
         if plan is None:
             extra = (f" with nz divisible by the {z_div}-device mesh"
                      if z_div > 1 else "")
@@ -207,6 +224,28 @@ class Simulation:
                                   rc_matrix=tfc.r_cut_matrix)
         self._layout_key = key
         return self._layout
+
+    def _plan_from_current(self):
+        """A fresh cellwise plan from the *current* positions/velocities
+        (used by :meth:`_ensure_layout` and the replan hint)."""
+        from ..ops.cellwise import Cellwise, plan_cellwise
+        tfc = self.tfc
+        lengths = np.asarray(box_size(self.state.box))
+        lo = np.asarray(self.state.box[0])
+        z_div = self.mesh.shape[self.shard_axis] if self.mesh else 1
+        method = getattr(tfc, "nlist_method", None)
+        config = method if isinstance(method, Cellwise) else None
+        # typical per-step drift for the planner's repack-frequency term
+        # (99th-percentile speed: the max is spiky and a single fast
+        # particle only triggers an occasional extra repack)
+        v = np.asarray(self.state.velocities)
+        vmag = np.sqrt((v * v).sum(-1)) if v.size else np.zeros(1)
+        drift = self.dt * float(np.percentile(vmag, 99)) \
+            if float(vmag.max()) > 0 else None
+        return plan_cellwise(
+            self.state.n_particles, lengths, tfc.r_cut, config=config,
+            positions=np.asarray(self.state.positions), lo=lo,
+            drift_per_step=drift, z_divisor=z_div)
 
     def _make_nlist_builder(self):
         """Resolve the neighbor-list strategy into a ``build(state)``
@@ -765,34 +804,54 @@ class Simulation:
         return result
 
     def _warmup_impl(self):
+        """Discover the extra-output count/shapes and build lazy model
+        variables -- entirely *abstractly* (ShapeDtypeStruct inputs +
+        jax.eval_shape): no neighbor build, no model FLOPs, no device
+        dispatch. Through a remote TPU the previous eager warmup cost
+        tens of seconds per attach configuration."""
         tfc = self.tfc
+        n = self.state.n_particles
+        dt = self.state.positions.dtype
+        sds = jax.ShapeDtypeStruct
+        box = sds((3, 3), dt)
         if self._use_cellwise():
-            # the model sees slot-order rows in cellwise mode
+            # the model sees slot-order rows (candidate planes) here
+            from ..ops.direct import NlistPlanes
             layout = self._ensure_layout()
-            slot_state, aux, _ = layout.pack_jit(self.state, ())
-            inputs = [layout.planes(slot_state, aux),
-                      slot_state.positions4, slot_state.box]
+            ns, C = layout.plan.n_slots, layout.plan.width
+            planes = NlistPlanes(dx=sds((ns, C), dt), dy=sds((ns, C), dt),
+                                 dz=sds((ns, C), dt),
+                                 type=sds((ns, C), dt))
+            inputs = [planes, sds((ns, 4), dt), box]
             tfc.model.ensure_built(inputs, training=tfc.train)
             out = _eval_silent(tfc.model, inputs, tfc.train)
             extras = out[tfc.output_offset:]
             return len(extras), tuple(tuple(e.shape) for e in extras)
-        nlist = self._build_nlist(self.state)
+        NN = max(1, tfc.nneighbor_cutoff)
+        builder = (self._make_nlist_builder()
+                   if tfc.nneighbor_cutoff > 0 else None)
+        if builder is not None and getattr(builder, "plan", None) and \
+                getattr(tfc, "nlist_method", None) == "direct":
+            from ..ops.direct import NlistPlanes
+            grid, capacity = builder.plan
+            C = 27 * capacity
+            nlist = NlistPlanes(dx=sds((n, C), dt), dy=sds((n, C), dt),
+                                dz=sds((n, C), dt), type=sds((n, C), dt))
+        else:
+            nlist = sds((n, NN, 4), dt)
         if tfc.batch_size:
             # batched: the model sees one particle chunk per call and the
             # scan stacks extras with a leading chunk axis
-            n = self.state.n_particles
             k = tfc.batch_size
             n_chunks = -(-n // k)
-            pad = n_chunks * k - n
-            pos4 = jnp.pad(self.state.positions4, ((0, pad), (0, 0)))[:k]
-            nl = jnp.pad(nlist, ((0, pad), (0, 0), (0, 0)))[:k]
-            inputs = [nl, pos4, self.state.box]
+            nl = sds((k,) + nlist.shape[1:], dt)
+            inputs = [nl, sds((k, 4), dt), box]
             tfc.model.ensure_built(inputs, training=tfc.train)
             out = _eval_silent(tfc.model, inputs, tfc.train)
             extras = out[tfc.output_offset:]
             return len(extras), tuple((n_chunks,) + tuple(e.shape)
                                       for e in extras)
-        inputs = [nlist, self.state.positions4, self.state.box]
+        inputs = [nlist, sds((n, 4), dt), box]
         tfc.model.ensure_built(inputs, training=tfc.train)
         out = _eval_silent(tfc.model, inputs, tfc.train)
         extras = out[tfc.output_offset:]
@@ -820,6 +879,9 @@ class Simulation:
         n_extras, extras_shapes = self._warmup() if tfc else (0, ())
         log = log_period is not None
         layout = self._ensure_layout() if self._use_cellwise() else None
+
+        if layout is not None:
+            self._maybe_suggest_replan(layout)
 
         block = int(self.scan_block) if self.scan_block else n
         segments = [block] * (n // block)
@@ -945,10 +1007,11 @@ def _functional(model, values, fn):
 
 
 def _eval_silent(model, inputs, train):
-    """Eager warmup call that leaves variable state untouched."""
+    """Abstract warmup call: output *shapes* only (that is all the
+    callers need), zero device compute, variable state untouched."""
     snap = get_state(model)
     try:
-        out = model(inputs, training=train)
+        out = jax.eval_shape(lambda xs: model(xs, training=train), inputs)
     finally:
         set_state(model, snap)
     return out

@@ -38,8 +38,12 @@ class Dense(Layer):
 
     def _build(self, in_dim):
         limit = float(np.sqrt(6.0 / (in_dim + self.units)))
-        k = jax.random.uniform(_next_key(), (in_dim, self.units),
-                               minval=-limit, maxval=limit, dtype=self.dtype)
+        # may run inside an abstract ensure_built trace: the RNG draw
+        # must stay concrete (see Layer.add_weight)
+        with jax.ensure_compile_time_eval():
+            k = jax.random.uniform(
+                _next_key(), (in_dim, self.units),
+                minval=-limit, maxval=limit, dtype=self.dtype)
         self.kernel = self.add_weight(
             (in_dim, self.units), initializer=lambda s: k,
             name=f"{self.name}.kernel")

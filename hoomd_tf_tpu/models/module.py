@@ -122,13 +122,19 @@ class Layer:
     def add_weight(self, shape=(), initializer=None, trainable=True,
                    constraint=None, regularizer=None, dtype=None, name=None):
         dtype = dtype or self.dtype
-        if initializer is None:
-            value = jnp.zeros(shape, dtype=dtype)
-        elif callable(initializer):
-            value = jnp.asarray(initializer(shape), dtype=dtype)
-        else:
-            value = jnp.broadcast_to(
-                jnp.asarray(initializer, dtype=dtype), shape)
+        # lazily-built weights may be created during an *abstract* call
+        # (SimModel.ensure_built runs under jax.eval_shape); the initial
+        # value must still be a concrete array, not a tracer that would
+        # escape the trace
+        import jax as _jax
+        with _jax.ensure_compile_time_eval():
+            if initializer is None:
+                value = jnp.zeros(shape, dtype=dtype)
+            elif callable(initializer):
+                value = jnp.asarray(initializer(shape), dtype=dtype)
+            else:
+                value = jnp.broadcast_to(
+                    jnp.asarray(initializer, dtype=dtype), shape)
         v = Variable(value, trainable=trainable, name=name,
                      constraint=constraint, regularizer=regularizer)
         if not hasattr(self, "_own_variables"):

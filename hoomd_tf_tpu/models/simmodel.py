@@ -313,13 +313,19 @@ class SimModel(Layer):
 
     def ensure_built(self, x, training=False):
         """Materialize lazily-created variables (e.g. :class:`MeanTensor`)
-        with one throwaway eager call, so the variable set is stable before
-        the model is functionalized for jit/scan. Pre-existing variables are
-        restored; new ones are reset to their initial values."""
+        with one throwaway *abstract* call (``jax.eval_shape``), so the
+        variable set is stable before the model is functionalized for
+        jit/scan. Pre-existing variables are restored; new ones are reset
+        to their initial values.
+
+        The abstract call creates weights (initializers run eagerly, at
+        their real shapes -- which may depend on the input widths) but
+        performs zero device compute: through a remote TPU the previous
+        eager-call warmup cost tens of seconds in per-op dispatch."""
         if getattr(self, "_built", False):
             return
         snap = {id(v): v.value for v in self.variables}
-        self.__call__(x, training=training)
+        jax.eval_shape(lambda xs: self.__call__(xs, training=training), x)
         for v in self.variables:
             v.value = snap.get(id(v), v.initial_value)
         self._built = True

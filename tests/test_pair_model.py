@@ -334,3 +334,40 @@ class TestSlopeOverride:
         np.testing.assert_allclose(np.asarray(du_fast),
                                    np.asarray(du_ref), rtol=1e-5,
                                    atol=1e-6)
+
+
+class TestReplanHint:
+    def test_warns_on_stale_capacity(self):
+        import dataclasses as _dc
+        import warnings as _w
+        from hoomd_tf_tpu.md.slots import SlotLayout
+        sim = make_fluid(216, seed=20)
+        tfc = htf.tfcompute(PairLJ(16))
+        tfc.attach(sim, r_cut=2.0, nlist="cellwise")
+        sim.run(120)
+        layout = sim._ensure_layout()
+        # a cold-start plan that measured 2x the equilibrated occupancy
+        fat = SlotLayout(
+            _dc.replace(layout.plan, capacity=layout.plan.capacity * 2),
+            sim.state.n_particles, layout.lo)
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            sim._maybe_suggest_replan(fat)
+            msgs = [str(r.message) for r in rec]
+        assert any("replan" in m for m in msgs), msgs
+        # hint fires once per layout
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            sim._maybe_suggest_replan(fat)
+        assert not any("replan" in str(r.message) for r in rec)
+
+    def test_no_warning_when_tight(self):
+        import warnings as _w
+        sim = make_fluid(216, seed=21)
+        tfc = htf.tfcompute(PairLJ(16))
+        tfc.attach(sim, r_cut=2.0, nlist="cellwise")
+        sim.run(120)
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            sim.run(5)
+        assert not any("replan" in str(r.message) for r in rec)
