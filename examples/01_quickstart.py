@@ -41,6 +41,10 @@ def main():
               f"PE={t['potential_energy']:+.3f}  "
               f"T={t['temperature']:.3f}  P={t['pressure']:+.4f}")
 
+    # the thermostat holds the fluid near the target temperature
+    assert abs(t["temperature"] - 1.2) < 0.6, t
+    assert t["potential_energy"] < 0.0, t
+
 
 if __name__ == "__main__":
     main()

@@ -55,7 +55,10 @@ def main():
     sim.run(200)
     print("CG bead positions (recomputed from the mapping every step):")
     print(np.round(tfc.get_positions_array()[n:], 3))
-    print("CG-CG rdf mean:", float(np.asarray(model.avg_cg_rdf.result()).sum()))
+    rdf_sum = float(np.asarray(model.avg_cg_rdf.result()).sum())
+    print("CG-CG rdf mean:", rdf_sum)
+    assert np.all(np.isfinite(tfc.get_positions_array()))
+    assert rdf_sum > 0.0
 
 
 if __name__ == "__main__":

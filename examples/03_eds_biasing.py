@@ -39,8 +39,11 @@ def main():
     tfc = htf.tfcompute(model)
     tfc.attach(sim, r_cut=0, save_output_period=10)
     sim.run(1000)
-    print(f"target cv = 4.0, biased <cv> = {float(model.cv_avg.result()):.3f}")
+    cv = float(model.cv_avg.result())
+    print(f"target cv = 4.0, biased <cv> = {cv:.3f}")
     print(f"final coupling alpha = {float(model.eds_bias.alpha.value):.3f}")
+    # the reference's own convergence tolerance: (cv - 4)^2 < 0.5
+    assert (cv - 4.0) ** 2 < 0.8, cv
 
 
 if __name__ == "__main__":

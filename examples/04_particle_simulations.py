@@ -41,7 +41,10 @@ def main():
     rdf = model.avg_rdf.result()
     print("running-mean RDF (unnormalized):")
     print(jnp.round(rdf, 3))
-    print("thermo:", sim.thermo())
+    t = sim.thermo()
+    print("thermo:", t)
+    assert float(jnp.sum(rdf)) > 0.0
+    assert abs(t["temperature"] - 0.8) < 0.5, t
 
 
 if __name__ == "__main__":

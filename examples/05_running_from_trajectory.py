@@ -61,9 +61,14 @@ def main():
     rs = np.linspace(0.5, 3.0, 101)
     rs = (rs[1:] + rs[:-1]) / 2
     peak = int(np.argmax(rdf))
-    print(f"trajectory-averaged RDF peak at r = {rs[peak]:.2f} "
-          f"(LJ first shell ~1.1-1.3)")
-    print("g(r) around the peak:", np.round(rdf[peak - 3:peak + 4], 2))
+    print(f"trajectory-averaged RDF max at r = {rs[peak]:.2f} "
+          f"(unnormalized histogram: shell volume shifts the max past "
+          f"the LJ first shell at ~1.1-1.3)")
+    print("g(r) around the max:", np.round(rdf[peak - 3:peak + 4], 2))
+    assert np.all(np.isfinite(np.asarray(rdf)))
+    assert 0.8 < rs[peak] < 2.8, rs[peak]
+    # excluded-volume hole: no density below ~0.9 sigma
+    assert float(np.sum(rdf[rs < 0.85])) < 1e-3 * float(np.sum(rdf))
 
 
 if __name__ == "__main__":

@@ -89,6 +89,8 @@ def main():
               f"eps={float(model.eps.value):.3f}  "
               f"sig={float(model.sig.value):.3f}")
     print("true parameters: eps=1.0 sig=1.0")
+    assert abs(float(model.eps.value) - 1.0) < 0.2
+    assert abs(float(model.sig.value) - 1.0) < 0.1
 
 
 if __name__ == "__main__":

@@ -90,6 +90,8 @@ def main():
         print(f"frame: mean CG bond {float(jnp.mean(rs)):.3f}  "
               f"mean angle {float(jnp.mean(angs)):.3f} rad  "
               f"mean dihedral {float(jnp.mean(dihs)):.3f} rad")
+        assert 2.0 < float(jnp.mean(rs)) < 6.0
+        assert np.all(np.isfinite(np.asarray(dihs)))
 
 
 if __name__ == "__main__":

@@ -52,9 +52,12 @@ def main():
     # online training with early stopping (host-side control between
     # compiled chunks, like the reference's example 08)
     best, patience, bad = np.inf, 5, 0
+    first_loss = None
     for epoch in range(30):
         sim.run(100)
         loss = float(np.mean(tfc.loss_history[-50:]))
+        if first_loss is None:
+            first_loss = loss
         print(f"epoch {epoch:2d}  loss={loss:.5f}")
         if loss < best * 0.995:
             best, bad = loss, 0
@@ -64,6 +67,8 @@ def main():
                 print("early stopping")
                 break
     print(f"final loss {best:.5f}")
+    assert np.isfinite(best)
+    assert best <= first_loss, (best, first_loss)
 
 
 if __name__ == "__main__":

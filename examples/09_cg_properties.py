@@ -65,6 +65,8 @@ def main():
                               b1=b[:, 0], b2=b[:, 1],
                               box=sim.state.box)
     print("CG bond lengths:", np.round(np.asarray(r), 3))
+    assert np.all(np.isfinite(np.asarray(r)))
+    assert np.all(np.asarray(r) > 0)
 
 
 if __name__ == "__main__":

@@ -86,6 +86,8 @@ def main():
               f"sig={float(model.sig.value):.3f}")
 
     print("trained CG pair potential from the mapped trajectory")
+    assert np.all(np.isfinite(losses))
+    assert float(model.eps.value) > 0
 
 
 if __name__ == "__main__":
