@@ -461,7 +461,10 @@ class Simulation:
             # the *point* -- the [n_slots, 27*cap] planes never hit HBM.
             # Pinning them was measured 5x slower at 64k (ops/cellwise.py).
             nlist = jax.lax.stop_gradient(nlist)
-            if layout is None:
+            # ...except in TRAIN mode, where the planes are consumed
+            # several times (loss forward, parameter backward, capture
+            # replay): pinning them once measured +12% at 16k on v5e.
+            if layout is None or train:
                 nlist = jax.lax.optimization_barrier(nlist)
             inputs = [nlist, state.positions4, state.box]
             if with_labels:
