@@ -78,7 +78,6 @@ class Simulation:
         self._scan_cache = {}
         self._layout = None     # cached SlotLayout (cellwise mode)
         self._layout_key = None
-        self._warm = False
 
     # ------------------------------------------------------------------
     # state initialization
