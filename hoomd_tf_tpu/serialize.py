@@ -25,8 +25,12 @@ custom_objects = {}
 def _register_builtins():
     from .models.layers import RBFExpansion, WCARepulsion, EDSLayer, Dense
     from .models.simmodel import SimModel, MolSimModel
+    from .models.pair import PairModel
+    from .models.potentials import (LJPotential, TrainableLJ,
+                                    NeuralPairPotential)
     for cls in (RBFExpansion, WCARepulsion, EDSLayer, Dense, SimModel,
-                MolSimModel):
+                MolSimModel, PairModel, LJPotential, TrainableLJ,
+                NeuralPairPotential):
         custom_objects[cls.__name__] = cls
 
 

@@ -371,3 +371,38 @@ class TestReplanHint:
             _w.simplefilter("always")
             sim.run(5)
         assert not any("replan" in str(r.message) for r in rec)
+
+
+class TestPairModelSerialization:
+    def test_save_load_roundtrip(self, tmp_path):
+        m = TrainablePairLJ(16)
+        m.ensure_built([jnp.zeros((2, 2, 4)), jnp.zeros((2, 4)),
+                        jnp.zeros((3, 3))])
+        m.eps.assign(0.67)
+        path = str(tmp_path / "pair.pkl")
+        htf.save_model(m, path)
+        m2 = htf.load_model(
+            path, custom_objects_arg={"TrainablePairLJ": TrainablePairLJ})
+        assert isinstance(m2, htf.PairModel)
+        np.testing.assert_allclose(float(m2.eps.value), 0.67, rtol=1e-6)
+        assert m2.min_r2 == m.min_r2
+
+    def test_checkpoint_resume_mid_run(self, tmp_path):
+        from hoomd_tf_tpu.serialize import (save_checkpoint,
+                                            load_checkpoint)
+        sim = make_fluid(125, seed=30)
+        tfc = htf.tfcompute(PairLJ(16))
+        tfc.attach(sim, r_cut=2.0, nlist="cellwise")
+        sim.run(7)
+        path = str(tmp_path / "ck.pkl")
+        save_checkpoint(path, model=tfc.model, sim=sim, tfc=tfc)
+        sim.run(5)
+        ref = np.asarray(sim.state.positions)
+
+        sim2 = make_fluid(125, seed=30)
+        tfc2 = htf.tfcompute(PairLJ(16))
+        tfc2.attach(sim2, r_cut=2.0, nlist="cellwise")
+        load_checkpoint(path, model=tfc2.model, sim=sim2, tfc=tfc2)
+        sim2.run(5)
+        np.testing.assert_allclose(np.asarray(sim2.state.positions), ref,
+                                   rtol=1e-5, atol=1e-5)
