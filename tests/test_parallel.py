@@ -371,3 +371,21 @@ class TestUnifiedShardedEngine:
         assert tfc.nlist_method == "n2"
         sim.run(10)
         assert np.isfinite(sim.thermo()["potential_energy"])
+
+
+class TestShardedReplan:
+    def test_replan_on_mesh_keeps_z_divisibility(self):
+        """replan() under a mesh re-plans with the z-divisor constraint
+        and the sharded run continues."""
+        from hoomd_tf_tpu.parallel import ShardedSimulation
+        sim = ShardedSimulation(dt=0.002, kT=0.9, mesh=make_mesh(8),
+                                seed=6)
+        sim.init_lattice(4096, density=0.4, kT_init=0.9)
+        tfc = sim.attach(zoo.LJModel(48), r_cut=2.5)
+        assert tfc.nlist_method == "cellwise"
+        sim.run(10)
+        sim.replan()
+        plan = sim._ensure_layout().plan
+        assert plan.grid[2] % 8 == 0, plan
+        sim.run(5)
+        assert np.isfinite(sim.thermo()["potential_energy"])
