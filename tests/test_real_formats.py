@@ -178,3 +178,62 @@ class _FirstMol:
 
     def __len__(self):
         return 12
+
+
+class TestPDBParserRobustness:
+    def _write(self, tmp_path, lines):
+        p = tmp_path / "t.pdb"
+        p.write_text("\n".join(lines) + "\n")
+        return str(p)
+
+    def test_hetatm_and_element_guessing(self, tmp_path):
+        path = self._write(tmp_path, [
+            "CRYST1   20.000   20.000   20.000  90.00  90.00  90.00 P 1",
+            # no element column: guessed from the first alphabetic char
+            "ATOM      1  CA  ALA A   1       1.000   2.000   3.000"
+            "  1.00  0.00",
+            "HETATM    2  O   HOH A   2       4.000   5.000   6.000"
+            "  1.00  0.00           O",
+            # name starting with a digit: element is the first letter
+            "ATOM      3 1HB  ALA A   1       7.000   8.000   9.000"
+            "  1.00  0.00",
+        ])
+        u = PDBUniverse(path)
+        assert len(u.atoms) == 3
+        assert list(u.atoms.types) == ["C", "O", "H"]
+        np.testing.assert_allclose(u.atoms.masses,
+                                   [12.011, 15.999, 1.008])
+        np.testing.assert_allclose(u.atoms.positions[1], [4, 5, 6])
+
+    def test_single_frame_no_model_records(self, tmp_path):
+        path = self._write(tmp_path, [
+            "ATOM      1  C   MOL A   1       0.000   0.000   0.000"
+            "  1.00  0.00           C",
+            "END",
+        ])
+        u = PDBUniverse(path)
+        assert u.n_frames == 1
+        assert len(list(u.trajectory)) == 1
+
+    def test_conect_ignores_unknown_serials(self, tmp_path):
+        path = self._write(tmp_path, [
+            "ATOM      1  C1  MOL A   1       0.000   0.000   0.000"
+            "  1.00  0.00           C",
+            "ATOM      2  C2  MOL A   1       1.500   0.000   0.000"
+            "  1.00  0.00           C",
+            "CONECT    1    2",
+            "CONECT    1    2",        # duplicate: deduplicated
+            "CONECT    2    9",        # unknown serial: ignored
+        ])
+        u = PDBUniverse(path)
+        np.testing.assert_array_equal(u.atoms.bonds.to_indices(),
+                                      [[0, 1]])
+
+    def test_subgroup_bonds_and_com(self, tmp_path):
+        u = PDBUniverse(PDB)
+        grp = u.select_atoms("resname PEG")
+        assert len(grp) == 24
+        sub = grp.select_atoms("name C1 C2 O1")
+        assert len(sub) == 6
+        # bonds restricted to the subgroup's atoms
+        assert len(sub.bonds.to_indices()) == 4  # 2 per molecule
