@@ -53,9 +53,12 @@ class tfcompute:
             ``'direct'`` (wide candidate planes, no selection), or
             ``'cellwise'`` / a :class:`..ops.cellwise.Cellwise` config
             (slot-resident state; the fastest mode on TPU -- the model
-            sees ``NlistPlanes`` rows in cell-slot order, see
-            ops/cellwise.py). In the reference this argument is the HOOMD
-            nlist object; here the engine owns the build.
+            sees ``NlistPlanes`` rows in *cell-slot order*, re-permuted
+            at each repack, with inert ghost rows; models that index
+            specific particle rows or reduce raw positions over rows
+            need a particle-order mode, see docs/running.md). In the
+            reference this argument is the HOOMD nlist object; here the
+            engine owns the build.
         :param r_cut: neighbor cutoff radius.
         :param period: run the model every ``period`` MD steps.
         :param batch_size: particle-batch size for memory capping (not
