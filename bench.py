@@ -16,6 +16,13 @@ import sys
 import time
 
 import jax
+
+# honor an explicit JAX_PLATFORMS even under this image's axon
+# sitecustomize (which force-registers the TPU plugin and overrides the
+# env var; the programmatic update is what actually pins the platform)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 
 import hoomd_tf_tpu as htf
@@ -97,13 +104,13 @@ def main():
     tfc = htf.tfcompute(model)
     tfc.attach(sim, r_cut=r_cut, nlist=nlist_mode)
 
-    # warmup/equilibrate, then re-plan: the initial plan measures the
-    # jittered lattice's inflated cell occupancy; the equilibrated fluid
-    # packs tighter, and capacity enters the pair work quadratically
+    # warmup/equilibrate; the second run()'s boundary check auto-replans
+    # (Simulation.auto_replan): the initial plan measures the jittered
+    # lattice's inflated cell occupancy, the equilibrated fluid packs
+    # tighter, and capacity enters the pair work quadratically. The
+    # second run also compiles the exact (re-planned) scan that is timed.
     sim.run(steps)
     jax.block_until_ready(sim.state.positions)
-    sim.replan()
-    # compile the exact (re-planned) scan that will be timed
     sim.run(steps)
     jax.block_until_ready(sim.state.positions)
 
@@ -118,10 +125,18 @@ def main():
     # vs_baseline compares particle-step throughput so different system
     # sizes are comparable.
     baseline_pps = 451.0 * 256.0
+    if model_cls is LJ and nlist_mode == "cellwise":
+        route = "analytic PairModel fast path, Pallas half-stencil Newton"
+    elif model_cls is LJ:
+        route = "PairModel (generic route off-cellwise)"
+    else:
+        route = "generic SimModel vjp route"
     print(json.dumps({
-        "metric": (f"LJ MD steps/s (N={n}, NN={nn}, fused jit step; "
-                   f"vs_baseline = particle-step throughput ratio vs "
-                   f"reference 451 steps/s @ N=256)"),
+        "metric": (f"LJ MD steps/s (N={n}, NN={nn}, "
+                   f"model={model_cls.__name__} [{route}], "
+                   f"nlist={nlist_mode}, fused jit step; "
+                   f"vs_baseline = particle-step throughput ratio "
+                   f"vs reference 451 steps/s @ N=256)"),
         "value": round(steps_per_s, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_s * n / baseline_pps, 3),

@@ -58,7 +58,7 @@ class Simulation:
     """
 
     def __init__(self, dt=0.005, integrator=None, seed=0, mesh=None,
-                 shard_axis="d"):
+                 shard_axis="d", auto_replan=True):
         self.dt = float(dt)
         self.integrator = integrator or _integrators.NVE()
         self.mesh = mesh
@@ -68,6 +68,12 @@ class Simulation:
         self.forces = []
         self.tfc = None         # attached tfcompute driver (or None)
         self.log = None         # thermo history (run(log_period=...))
+        # re-plan the cellwise geometry automatically at run() boundaries
+        # when the current occupancy is far below the planned capacity
+        # (HOOMD's own cell list re-sizes itself; users never tune it).
+        # Set False to keep a stale plan and get a warning instead.
+        self.auto_replan = bool(auto_replan)
+        self._replan_check_step = -1
         # run(n) executes as ceil(n / scan_block) dispatches of one
         # compiled fixed-length scan (plus one remainder scan), so
         # run(1000) then run(500) share the same compiled block and
@@ -130,30 +136,40 @@ class Simulation:
         self._layout = None
         self._layout_key = None
         self._scan_cache.clear()
+        self._replan_check_step = int(np.asarray(self.state.step)) \
+            if self.state is not None else -1
         if self.tfc is not None:
             self.tfc._warmup_cache = None
 
     # ------------------------------------------------------------------
-    def _maybe_suggest_replan(self, layout):
-        """One-time hint when the current occupancy is far below the
-        planned capacity (pair work scales with capacity^2, so a stale
-        cold-start plan quietly costs 1.5-2x; see :meth:`replan`)."""
-        if getattr(layout, "_replan_hinted", False):
-            return
-        if int(np.asarray(self.state.step)) < 100:
-            return  # too early to judge (still equilibrating)
+    def _maybe_auto_replan(self, layout):
+        """Plan tightening at run() boundaries: when the fresh-plan lane
+        count is well below the active plan's (pair work scales with
+        capacity^2, so a stale cold-start plan quietly costs 1.5-2x),
+        re-plan automatically -- like HOOMD's self-resizing cell list.
+        With ``auto_replan=False`` only a warning is emitted. Checks are
+        throttled to once per 500 elapsed steps (the occupancy probe
+        pulls positions/velocities to the host)."""
+        step = int(np.asarray(self.state.step))
+        if step < 100:
+            return layout  # too early to judge (still equilibrating)
+        if 0 <= self._replan_check_step and \
+                step - self._replan_check_step < 500:
+            return layout
+        self._replan_check_step = step
         from ..ops.cellwise import _pad_to
-        layout._replan_hinted = True
         fresh = self._plan_from_current()
         if fresh is None:
-            return
+            return layout
 
         def lanes(p):
             return (p.n_cells * _pad_to(p.capacity, 8) *
                     _pad_to(27 * p.capacity, 128))
 
         cur, new = lanes(layout.plan), lanes(fresh)
-        if cur > 1.4 * new:
+        if cur <= 1.4 * new:
+            return layout
+        if not self.auto_replan:
             import warnings
             warnings.warn(
                 f"the active cellwise plan (grid {layout.plan.grid}, "
@@ -161,6 +177,9 @@ class Simulation:
                 f"{cur / new:.1f}x the pair work a fresh plan would: "
                 "sim.replan() would recompile once and run faster",
                 stacklevel=3)
+            return layout
+        self.replan()
+        return self._ensure_layout()
 
     # ------------------------------------------------------------------
     def add_force(self, force):
@@ -413,7 +432,7 @@ class Simulation:
         return always_eval, needs_virial, carry_mf, carry_mvir
 
     def _make_step(self, n_extras, extras_shapes, nlist_builder=None,
-                   log=False, layout=None):
+                   log=False, layout=None, log_period=1):
         """Build the scan body. Static configuration is closed over.
 
         :param layout: a :class:`.slots.SlotLayout` when the cellwise
@@ -436,14 +455,19 @@ class Simulation:
         pair_fast = (layout is not None and tfc is not None and
                      not train and isinstance(model, PairModel) and
                      model.output_forces and n_extras == 0 and
-                     not tfc.batch_size and layout.rc_matrix is None)
+                     not tfc.batch_size)
         # built-in pair potentials (LJ/WCA) also take the analytic route
         # in cellwise mode -- this speeds both plain built-in runs and
-        # the per-step training labels of the online-learning path
-        builtin_fast = (layout is not None and layout.rc_matrix is None
-                        and bool(self.forces) and
+        # the per-step training labels of the online-learning path.
+        # Typed per-pair cutoff matrices apply inside the analytic kernel
+        # (rcut_matrix below), so neither fast path is gated on them.
+        builtin_fast = (layout is not None and bool(self.forces) and
                         all(hasattr(f, "pair_energy")
                             for f in self.forces))
+        # a pallas_call does not partition under sharding propagation:
+        # meshed runs keep the full-stencil XLA form (which XLA turns
+        # into ring collectives over the z-rolls)
+        stencil_choice = "auto" if self.mesh is None else "full"
 
         def model_inputs(state, nlist, with_labels=False, labels=None):
             # optimization_barrier: without it XLA occasionally fuses the
@@ -563,7 +587,9 @@ class Simulation:
                     fi, wi = _cw.analytic_pair_forces(
                         state.positions, state.types, aux["valid"],
                         layout.plan, layout.lo, su,
-                        needs_virial=True, with_types=True)
+                        needs_virial=True, with_types=True,
+                        rcut_matrix=layout.rc_matrix,
+                        stencil=stencil_choice)
                     f = f + fi
                     w = w + wi
                 return f, w
@@ -580,7 +606,9 @@ class Simulation:
                     layout.plan, layout.lo, model.pair_energy_and_slope,
                     needs_virial=self._step_flags(log)[1],
                     min_r2=model.min_r2,
-                    with_types=model.pair_with_types)
+                    with_types=model.pair_with_types,
+                    rcut_matrix=layout.rc_matrix,
+                    stencil=stencil_choice)
 
             (f4, w), new_mv = _functional(model, mv, run)
             if w is None:
@@ -776,8 +804,23 @@ class Simulation:
             state = integ.post_force(state, dt)
             if layout is not None:
                 state = layout.ghost_pin(state, aux)
+            log_now = ((state.step % log_period) == 0) if log else None
             state = dataclasses.replace(state, step=state.step + 1)
-            thermo_y = (_thermo.thermo(state) if log else {})
+            # thermo reductions only on logged steps: at log_period > 1
+            # the KE/PE/pressure sums are dead weight in the hot loop
+            # (the host filter drops the other rows anyway)
+            if log and log_period > 1:
+                dt_ = state.positions.dtype
+                thermo_y = jax.lax.cond(
+                    log_now,
+                    lambda: _thermo.thermo(state),
+                    lambda: {k: jnp.zeros((), dtype=dt_)
+                             for k in ("kinetic_energy", "potential_energy",
+                                       "temperature", "pressure")})
+            elif log:
+                thermo_y = _thermo.thermo(state)
+            else:
+                thermo_y = {}
             # overflow rides the carry (OR-accumulated) instead of the
             # per-step ys: one bool checked once at the end of the run
             overflow = jnp.logical_or(overflow, cell_overflow)
@@ -883,7 +926,7 @@ class Simulation:
         layout = self._ensure_layout() if self._use_cellwise() else None
 
         if layout is not None:
-            self._maybe_suggest_replan(layout)
+            layout = self._maybe_auto_replan(layout)
 
         block = int(self.scan_block) if self.scan_block else n
         segments = [block] * (n // block)
@@ -892,7 +935,7 @@ class Simulation:
 
         base_key = (n_extras, extras_shapes,
                     tfc.config_key if tfc else None,
-                    len(self.forces), log,
+                    len(self.forces), log, log_period,
                     layout.plan if layout else None)
 
         def scan_for(length):
@@ -903,7 +946,8 @@ class Simulation:
                                      layout is None) else None)
                 step = self._make_step(n_extras, extras_shapes,
                                        nlist_builder, log=log,
-                                       layout=layout)
+                                       layout=layout,
+                                       log_period=log_period or 1)
 
                 @jax.jit
                 def scan_n(carry):

@@ -70,6 +70,15 @@ class Cellwise(CellList):
 _OFFS = [(ox, oy, oz) for oz in (-1, 0, 1) for oy in (-1, 0, 1)
          for ox in (-1, 0, 1)]
 
+# Half stencil for Newton's-third-law pair accumulation: the self cell
+# plus the 13 offsets whose first nonzero component (z-major) is
+# positive. Every unordered adjacent-cell pair {c, c+off} appears for
+# exactly one of off/-off, so evaluating each directed block once and
+# accumulating BOTH sides (row i gets +F, candidate j gets -F via a
+# roll-back) covers all pairs with 14/27 of the candidate lanes.
+_HALF_OFFS = [(0, 0, 0)] + [o for o in _OFFS
+                            if (o[2], o[1], o[0]) > (0, 0, 0)]
+
 
 @dataclasses.dataclass(frozen=True)
 class CellwisePlan:
@@ -253,16 +262,33 @@ def bin_cells(pos3, lo, plan):
     return xyz[:, 0] + nx * (xyz[:, 1] + ny * xyz[:, 2])
 
 
-def _roll27(plane, plan):
-    """``[n_slots]`` plane -> ``[n_cells, 27*cap]`` candidate rows via 27
-    static rolls of the ``[nz, ny, nx, cap]`` view. A roll is a pair of
-    contiguous slices (no gather); XLA fuses the stack into consumers."""
+def _roll_offs(plane, plan, offs_list):
+    """``[n_slots]`` plane -> ``[n_cells, len(offs)*cap]`` candidate rows
+    via static rolls of the ``[nz, ny, nx, cap]`` view. A roll is a pair
+    of contiguous slices (no gather); XLA fuses the stack into
+    consumers."""
     nx, ny, nz = plan.grid
     cap = plan.capacity
     a = plane.reshape(nz, ny, nx, cap)
     outs = [jnp.roll(a, shift=(-oz, -oy, -ox), axis=(0, 1, 2))
-            for (ox, oy, oz) in _OFFS]
-    return jnp.stack(outs, axis=3).reshape(plan.n_cells, plan.width)
+            for (ox, oy, oz) in offs_list]
+    return jnp.stack(outs, axis=3).reshape(plan.n_cells,
+                                           len(offs_list) * cap)
+
+
+def _roll27(plane, plan):
+    return _roll_offs(plane, plan, _OFFS)
+
+
+def _roll_back(block, plan, off):
+    """Push a ``[n_cells, cap]`` per-candidate partial (computed at cell
+    ``c`` for the slots of cell ``c + off``) onto the rows of cell
+    ``c + off``: the inverse roll of the candidate gather."""
+    ox, oy, oz = off
+    nx, ny, nz = plan.grid
+    a = block.reshape(nz, ny, nx, plan.capacity)
+    return jnp.roll(a, shift=(oz, oy, ox), axis=(0, 1, 2)).reshape(
+        plan.n_cells, plan.capacity)
 
 
 def cellwise_planes(positions, types, valid, plan, rcut_matrix=None):
@@ -314,7 +340,8 @@ def cellwise_planes(positions, types, valid, plan, rcut_matrix=None):
 
 
 def analytic_pair_forces(positions, types, valid, plan, lo, pair_fn,
-                         needs_virial=False, min_r2=1e-4, with_types=False):
+                         needs_virial=False, min_r2=1e-4, with_types=False,
+                         rcut_matrix=None, stencil="auto"):
     """Forces/energy (and optionally virial) for a pair potential on
     slot-resident state, computed *analytically forward-only* -- the fast
     path behind :class:`..models.pair.PairModel`.
@@ -329,25 +356,47 @@ def analytic_pair_forces(positions, types, valid, plan, lo, pair_fn,
     MXU distance-matrix formulation needs f32-precision passes that cost
     more than they save -- see docs/performance.md).
 
+    With ``stencil='half'`` (the default) each unordered pair is
+    evaluated ONCE: the candidate planes hold the self cell plus 13
+    directed offsets (14/27 of the lanes -- the lane count is the wall
+    at scale, see ROADMAP.md), and Newton's third law supplies the other
+    side. For each directed block, the row side accumulates over the
+    candidate (lane) axis as usual, while the candidate side is a
+    reduction over the *row* (sublane) axis of the same product arrays,
+    pushed onto its home cell by the inverse roll -- pure contiguous
+    data movement, no scatter. A bonus over the full stencil: the
+    pair force is bit-exactly antisymmetric (both sides come from the
+    same f32 product), so net momentum is conserved to the rounding of
+    the final sum rather than of two independently-evaluated forces.
+
     Design notes, all load-bearing:
 
     - Displacements come from *cell-relative* coordinates plus a static
       per-stencil-direction offset, so there is no min-image round() on
       the hot loop: ``x_j - x_i = (q_j + off_k) - q_i`` exactly, for
       cells >= 3 per axis and in-range pairs.
-    - The self-pair is excluded *structurally* (candidate column
-      ``13*cap + k`` of row ``k`` is the particle itself). A small-r2
-      threshold cannot do this: the expanded distance form loses ~1e-5
-      absolute to f32 rounding, which leaks the self-pair through any
-      tiny threshold with catastrophic r^-12 amplification.
+    - The self-pair is excluded *structurally* (in the self-cell block,
+      candidate column ``k`` of row ``k`` is the particle itself). A
+      small-r2 threshold cannot do this: the expanded distance form
+      loses ~1e-5 absolute to f32 rounding, which leaks the self-pair
+      through any tiny threshold with catastrophic r^-12 amplification.
+    - In-cell pairs (the self block) are deliberately evaluated from
+      both rows like the full stencil -- Newton inside one cap x cap
+      block saves no padded lanes, and skipping the back-accumulation
+      for block 0 keeps the reduction structure uniform.
     - Ghost slots are pushed ``FAR`` out along x instead of carrying a
       validity plane -- one fused add instead of a [rows, C] mask input.
+      Newton back-accumulation stays safe under this trick: every
+      ghost<->real lane is masked by distance (FAR does not cancel), and
+      ghost<->ghost garbage only ever lands on ghost rows, which are
+      zeroed by the final ``valid`` mask.
     - ``r2`` is clamped to ``min_r2`` before the user function so
       overlapping (unphysical) pairs produce huge-but-finite f32 forces
       instead of inf/NaN.
 
     :param positions: ``[n_slots, 3]`` slot positions.
-    :param types: ``[n_slots]`` integer types (used when ``with_types``).
+    :param types: ``[n_slots]`` integer types (used when ``with_types``
+        or ``rcut_matrix`` is given).
     :param valid: ``[n_slots]`` 1.0 real / 0.0 ghost.
     :param plan: the :class:`CellwisePlan`.
     :param lo: box lower corner (static).
@@ -359,16 +408,39 @@ def analytic_pair_forces(positions, types, valid, plan, lo, pair_fn,
         ``[n_slots, 3, 3]`` (else ``None``).
     :param min_r2: overlap clamp (see above).
     :param with_types: pass type planes to ``pair_fn``.
+    :param rcut_matrix: per-type-pair ``[ntypes, ntypes]`` cutoffs
+        (negative = never neighbors; ``plan.r_cut`` must be its max).
+    :param stencil: ``'auto'`` (Pallas half-stencil kernel on TPU, XLA
+        full stencil elsewhere), ``'pallas'`` (force the kernel;
+        interpreted off-TPU), ``'half'`` (Newton in pure XLA -- measured
+        SLOWER than 'full' at 64k: XLA cannot fuse the two reduction
+        axes, see ops/cellwise_pallas.py -- kept for cross-checking), or
+        ``'full'`` (27 blocks, both pair sides evaluated independently;
+        the fastest pure-XLA form and the one that partitions cleanly
+        under a device mesh).
     :returns: ``(forces4 [n_slots, 4], virial or None)`` with
         per-particle energy in force column 4; ghost rows all zero.
     """
+    if stencil == "auto":
+        stencil = ("pallas" if jax.default_backend() == "tpu"
+                   else "full")
+    if stencil == "pallas":
+        from .cellwise_pallas import half_stencil_pair_forces
+        return half_stencil_pair_forces(
+            positions, types, valid, plan, lo, pair_fn,
+            needs_virial=needs_virial, min_r2=min_r2,
+            with_types=with_types, rcut_matrix=rcut_matrix,
+            interpret=jax.default_backend() != "tpu")
     dtype = positions.dtype
-    n_cells, cap, C = plan.n_cells, plan.capacity, plan.width
+    n_cells, cap = plan.n_cells, plan.capacity
+    offs_list = _HALF_OFFS if stencil == "half" else _OFFS
+    n_offs = len(offs_list)
+    C = n_offs * cap
     rc2 = jnp.asarray(plan.r_cut * plan.r_cut, dtype=dtype)
     L3 = jnp.asarray(plan.lengths, dtype=dtype)
     ex, ey, ez = plan.edges
     offs = np.array([(ox * ex, oy * ey, oz * ez) for (ox, oy, oz) in
-                     _OFFS], dtype=np.float32)
+                     offs_list], dtype=np.float32)
     FAR = 4.0 * float(max(plan.lengths))
 
     centers = slot_cell_centers(plan, lo, dtype)
@@ -380,9 +452,12 @@ def analytic_pair_forces(positions, types, valid, plan, lo, pair_fn,
     qx = q[:, 0] + (1.0 - valid) * FAR
     qy, qz = q[:, 1], q[:, 2]
 
-    gx = _roll27(qx, plan) + jnp.asarray(np.repeat(offs[:, 0], cap))
-    gy = _roll27(qy, plan) + jnp.asarray(np.repeat(offs[:, 1], cap))
-    gz = _roll27(qz, plan) + jnp.asarray(np.repeat(offs[:, 2], cap))
+    gx = _roll_offs(qx, plan, offs_list) + \
+        jnp.asarray(np.repeat(offs[:, 0], cap))
+    gy = _roll_offs(qy, plan, offs_list) + \
+        jnp.asarray(np.repeat(offs[:, 1], cap))
+    gz = _roll_offs(qz, plan, offs_list) + \
+        jnp.asarray(np.repeat(offs[:, 2], cap))
 
     qxr = qx.reshape(n_cells, cap)
     qyr = qy.reshape(n_cells, cap)
@@ -394,36 +469,63 @@ def analytic_pair_forces(positions, types, valid, plan, lo, pair_fn,
 
     row = jnp.arange(cap)[:, None]
     col = jnp.arange(C)[None, :]
-    not_self = (col != 13 * cap + row)[None, :, :]
+    if stencil == "half":
+        # the self cell is block 0
+        not_self = jnp.logical_not((col < cap) & (col == row))[None]
+    else:
+        not_self = (col != 13 * cap + row)[None, :, :]
     ok = (d2 <= rc2) & not_self
+
+    need_types = with_types or rcut_matrix is not None
+    if need_types:
+        tt = types.astype(dtype)
+        gt = _roll_offs(tt, plan, offs_list)
+        ti = tt.reshape(n_cells, cap)[:, :, None]
+        tj = gt[:, None, :]
+    if rcut_matrix is not None:
+        from .nlist import pair_rc2
+        ok = ok & (d2 <= pair_rc2(ti, tj, rcut_matrix, dtype))
     r2_eval = jnp.maximum(d2, jnp.asarray(min_r2, dtype=dtype))
 
     if with_types:
-        tt = types.astype(dtype)
-        gt = _roll27(tt, plan)
-        ti = tt.reshape(n_cells, cap)[:, :, None]
-        tj = gt[:, None, :]
         U, dU = pair_fn(r2_eval, ti, tj)
     else:
         U, dU = pair_fn(r2_eval)
     zero = jnp.zeros((), dtype=dtype)
     g = jnp.where(ok, U, zero)          # full pair energy per lane
     s = jnp.where(ok, dU, zero)
-    # e_i = sum_j U/2 (each pair counted from both rows);
-    # F_i = -2 * sum_j U'(d2) * (x_i - x_j) = 2 * sum_j U' * d
-    e = 0.5 * jnp.sum(g, axis=2).reshape(-1)
-    fx = 2.0 * jnp.sum(s * dx, axis=2).reshape(-1)
-    fy = 2.0 * jnp.sum(s * dy, axis=2).reshape(-1)
-    fz = 2.0 * jnp.sum(s * dz, axis=2).reshape(-1)
+    sdx, sdy, sdz = s * dx, s * dy, s * dz
+
+    def dual_reduce(prod, fwd_coeff, back_coeff):
+        """Row-side lane reduction, plus (half stencil) the candidate-side
+        sublane reduction of the SAME product array rolled back onto each
+        directed block's home cell."""
+        out = fwd_coeff * jnp.sum(prod, axis=2)
+        if stencil == "half":
+            back = back_coeff * jnp.sum(prod, axis=1)  # [n_cells, C]
+            for t in range(1, n_offs):
+                out = out + _roll_back(back[:, t * cap:(t + 1) * cap],
+                                       plan, offs_list[t])
+        return out.reshape(-1)
+
+    # e_i = sum_j U/2 (in-cell pairs counted from both rows; directed
+    # pairs counted once, half to each side);
+    # F_i = -2 * sum_j U'(d2) * (x_i - x_j) = 2 * sum_j U' * d, and the
+    # candidate side of a directed pair gets the exact negation
+    e = dual_reduce(g, 0.5, 0.5)
+    fx = dual_reduce(sdx, 2.0, -2.0)
+    fy = dual_reduce(sdy, 2.0, -2.0)
+    fz = dual_reduce(sdz, 2.0, -2.0)
     forces4 = jnp.stack([fx, fy, fz, e], axis=-1) * valid[:, None]
 
     virial = None
     if needs_virial:
         # W_i = -sum_j U'(d2) * d (x) d -- identical to
         # ops/forces._compute_virial with f_ij = 2 s d (HOOMD sign:
-        # positive diagonal for repulsion)
+        # positive diagonal for repulsion). d (x) d is direction-even,
+        # so both sides of a directed pair accumulate the same term.
         def acc(da, db):
-            return -jnp.sum(s * da * db, axis=2).reshape(-1)
+            return dual_reduce(s * da * db, -1.0, -1.0)
         wxx, wyy, wzz = acc(dx, dx), acc(dy, dy), acc(dz, dz)
         wxy, wxz, wyz = acc(dx, dy), acc(dx, dz), acc(dy, dz)
         W = jnp.stack([

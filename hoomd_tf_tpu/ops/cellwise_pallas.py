@@ -1,0 +1,198 @@
+"""Pallas TPU kernel for the half-stencil (Newton's-third-law) analytic
+pair-force loop of the cellwise neighbor mode.
+
+Why a hand kernel here, when the full-stencil XLA form beat one before
+(docs/performance.md): the half stencil evaluates each pair once and
+accumulates BOTH sides -- a row-side reduction over the candidate (lane)
+axis and a candidate-side reduction over the row (sublane) axis of the
+*same* product arrays. XLA cannot multi-output-fuse reductions over
+different axes of one intermediate, so it either materializes the
+``[n_cells, cap, 14*cap]`` products to HBM (~1 GB/step at 64k) or
+rematerializes the pair math twice -- measured 377 steps/s vs the full
+stencil's 439 at 64k, i.e. the lane savings were eaten. Inside a Pallas
+kernel both reductions accumulate in VMEM in one pass over the lanes, so
+the 14/27 lane saving is real.
+
+Division of labor (each part where it is cheapest):
+
+- XLA builds the candidate planes (27->14 static rolls + per-direction
+  offsets -- contiguous data movement it handles perfectly);
+- the kernel does the lane math and the dual reductions, emitting one
+  ``[n_cells, 14*cap]`` array per quantity: block 0 = the row-side
+  (forward) sums, blocks 1..13 = the candidate-side (Newton back) sums;
+- XLA applies the 13 inverse rolls pushing each back block onto its home
+  cell and adds everything up.
+
+Replaces the reference's CSR-reshape + per-pair force CUDA kernels
+(``TensorflowCompute.cu:80-209``) as the hot kernel of the framework.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cellwise import (_HALF_OFFS, _roll_offs, _roll_back,
+                       slot_cell_centers)
+
+__all__ = ["half_stencil_pair_forces"]
+
+
+def _kernel(pair_fn, with_types, rcut_matrix, cap, n_blocks, rc2, min_r2,
+            needs_virial, *refs):
+    """One grid step: ``B`` cells' rows against their 14-block candidate
+    planes; dual reductions accumulate in VMEM/registers."""
+    C = n_blocks * cap
+    if with_types or rcut_matrix is not None:
+        gx_ref, gy_ref, gz_ref, gt_ref = refs[:4]
+        out_refs = refs[4:]
+    else:
+        gx_ref, gy_ref, gz_ref = refs[:3]
+        gt_ref = None
+        out_refs = refs[3:]
+
+    gx, gy, gz = gx_ref[:], gy_ref[:], gz_ref[:]          # [B, C]
+    # block 0 is the self cell with zero offset: the rows themselves
+    qx, qy, qz = gx[:, :cap], gy[:, :cap], gz[:, :cap]    # [B, cap]
+    dx = gx[:, None, :] - qx[:, :, None]                  # [B, cap, C]
+    dy = gy[:, None, :] - qy[:, :, None]
+    dz = gz[:, None, :] - qz[:, :, None]
+    d2 = dx * dx + dy * dy + dz * dz
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (cap, C), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (cap, C), 1)
+    not_self = jnp.logical_not((col < cap) & (col == row))[None]
+    ok = (d2 <= rc2) & not_self
+    if gt_ref is not None:
+        gt = gt_ref[:]
+        ti = gt[:, :cap][:, :, None]
+        tj = gt[:, None, :]
+    if rcut_matrix is not None:
+        from .nlist import pair_rc2
+        ok = ok & (d2 <= pair_rc2(ti, tj, rcut_matrix, d2.dtype))
+    r2 = jnp.maximum(d2, min_r2)
+    if with_types:
+        U, dU = pair_fn(r2, ti, tj)
+    else:
+        U, dU = pair_fn(r2)
+    zero = jnp.zeros((), dtype=d2.dtype)
+    g = jnp.where(ok, U, zero)
+    s = jnp.where(ok, dU, zero)
+
+    def dual(prod, fwd_c, back_c, out_ref):
+        """out[:, :cap] = row-side sum; out[:, cap:] = candidate-side
+        sums of the directed blocks (block 0's back side is the self
+        cell's second counting -- already covered by the row side)."""
+        fwd = fwd_c * jnp.sum(prod, axis=2)               # [B, cap]
+        back = back_c * jnp.sum(prod, axis=1)             # [B, C]
+        out_ref[:, :cap] = fwd
+        out_ref[:, cap:] = back[:, cap:]
+
+    dual(g, 0.5, 0.5, out_refs[0])
+    dual(s * dx, 2.0, -2.0, out_refs[1])
+    dual(s * dy, 2.0, -2.0, out_refs[2])
+    dual(s * dz, 2.0, -2.0, out_refs[3])
+    if needs_virial:
+        dual(s * dx * dx, -1.0, -1.0, out_refs[4])
+        dual(s * dy * dy, -1.0, -1.0, out_refs[5])
+        dual(s * dz * dz, -1.0, -1.0, out_refs[6])
+        dual(s * dx * dy, -1.0, -1.0, out_refs[7])
+        dual(s * dx * dz, -1.0, -1.0, out_refs[8])
+        dual(s * dy * dz, -1.0, -1.0, out_refs[9])
+
+
+def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
+                             needs_virial=False, min_r2=1e-4,
+                             with_types=False, rcut_matrix=None,
+                             block_cells=None, interpret=False):
+    """Drop-in equivalent of :func:`.cellwise.analytic_pair_forces`
+    computed by the Pallas half-stencil kernel (same contract, same
+    returns; see that docstring for the physics and masking rules).
+
+    :param block_cells: cells per kernel grid step (VMEM working set is
+        ``~8 * block_cells * cap * 14*cap * 4`` bytes; default sized to
+        ~4 MB).
+    :param interpret: run the kernel in interpreter mode (CPU tests).
+    """
+    from jax.experimental import pallas as pl
+
+    dtype = positions.dtype
+    n_cells, cap = plan.n_cells, plan.capacity
+    offs_list = _HALF_OFFS
+    n_blocks = len(offs_list)
+    C = n_blocks * cap
+    L3 = jnp.asarray(plan.lengths, dtype=dtype)
+    ex, ey, ez = plan.edges
+    offs = np.array([(ox * ex, oy * ey, oz * ez) for (ox, oy, oz) in
+                     offs_list], dtype=np.float32)
+    FAR = 4.0 * float(max(plan.lengths))
+
+    centers = slot_cell_centers(plan, lo, dtype)
+    q = positions - centers
+    q = q - jnp.round(q / L3) * L3
+    qx = q[:, 0] + (1.0 - valid) * FAR
+    qy, qz = q[:, 1], q[:, 2]
+    gx = _roll_offs(qx, plan, offs_list) + \
+        jnp.asarray(np.repeat(offs[:, 0], cap))
+    gy = _roll_offs(qy, plan, offs_list) + \
+        jnp.asarray(np.repeat(offs[:, 1], cap))
+    gz = _roll_offs(qz, plan, offs_list) + \
+        jnp.asarray(np.repeat(offs[:, 2], cap))
+
+    need_types = with_types or rcut_matrix is not None
+    inputs = [gx, gy, gz]
+    if need_types:
+        inputs.append(_roll_offs(types.astype(dtype), plan, offs_list))
+
+    # grid blocking: pad n_cells to a multiple of the block size. Padded
+    # rows replicate row 0's candidates; their outputs are garbage but
+    # they are sliced off before the roll-back (and they never write
+    # anywhere else: back sums stay within their own row block).
+    if block_cells is None:
+        # Mosaic needs the leading block dim divisible by 8; scale up in
+        # multiples of 8 while the VMEM working set (~8 live [B, cap, C]
+        # intermediates) stays under ~6 MB
+        target = 6 * 1024 * 1024 // (8 * cap * C * 4)
+        block_cells = max(8, (target // 8) * 8)
+    B = int(block_cells)
+    n_pad = -(-n_cells // B) * B
+    if n_pad != n_cells:
+        inputs = [jnp.pad(a, ((0, n_pad - n_cells), (0, 0)), mode="edge")
+                  for a in inputs]
+
+    n_out = 10 if needs_virial else 4
+    rc2 = float(plan.r_cut) ** 2
+    kernel = functools.partial(
+        _kernel, pair_fn, with_types, rcut_matrix, cap, n_blocks,
+        float(rc2), float(min_r2), needs_virial)
+
+    spec = pl.BlockSpec((B, C), lambda i: (i, 0))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_pad // B,),
+        in_specs=[spec] * len(inputs),
+        out_specs=[spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((n_pad, C), dtype)] * n_out,
+        interpret=interpret,
+    )(*inputs)
+
+    def assemble(out):
+        acc = out[:n_cells, :cap]
+        for t in range(1, n_blocks):
+            acc = acc + _roll_back(
+                out[:n_cells, t * cap:(t + 1) * cap], plan, offs_list[t])
+        return acc.reshape(-1)
+
+    e, fx, fy, fz = (assemble(o) for o in outs[:4])
+    forces4 = jnp.stack([fx, fy, fz, e], axis=-1) * valid[:, None]
+    virial = None
+    if needs_virial:
+        wxx, wyy, wzz, wxy, wxz, wyz = (assemble(o) for o in outs[4:])
+        W = jnp.stack([
+            jnp.stack([wxx, wxy, wxz], -1),
+            jnp.stack([wxy, wyy, wyz], -1),
+            jnp.stack([wxz, wyz, wzz], -1)], -2)
+        virial = W * valid[:, None, None]
+    return forces4, virial

@@ -4,10 +4,19 @@ The MD twin of ring attention (SURVEY.md section 2.3): the box is split
 into slabs along x, one device per slab; each step every device sends the
 particles within ``r_cut`` of its slab faces to its ring neighbors with
 ``ppermute`` (two hops: +1 and -1), then builds neighbor rows for its own
-particles against [local + left halo + right halo]. Unlike the all-gather
-strategy (:func:`.shard.sharded_force_fn`) the per-device traffic is
-O(halo) instead of O(N), so it scales to particle counts where positions
-no longer fit per-device.
+particles against [local + left halo + right halo]. Per-device traffic is
+O(halo) instead of O(N).
+
+**Status: manual-decomposition reference implementation.** The
+PRODUCTION multi-chip path is ``Simulation(mesh=...)`` /
+``ShardedSimulation``: the same compiled cellwise step run SPMD, where
+XLA derives the equivalent halo ring from the z-axis rolls on its own
+(md/simulation.py). This module keeps the halo exchange EXPLICIT --
+useful as an independent oracle for validating the compiler-derived
+collectives, for environments that need hand-placed ppermutes, and as
+the documented recipe the sharding design is built on. It is exercised
+by tests and the multi-chip dryrun, and is not wired into any front
+end by design.
 
 Static-shape contract (XLA): halo buffers have a fixed capacity; particles
 are assigned to slabs when the function is built. A particle drifting

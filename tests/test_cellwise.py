@@ -137,6 +137,96 @@ class TestPlanesCorrectness:
             ref = np.sort(r_oracle[i][r_oracle[i] > 0])
             np.testing.assert_allclose(mine, ref, rtol=1e-5, atol=1e-5)
 
+    def test_half_stencil_matches_full(self):
+        """The Newton's-third-law half stencil (14 blocks, each pair
+        evaluated once with dual-sided accumulation) reproduces the full
+        27-block stencil: forces, per-particle energy and virial."""
+        n, r_cut = 256, 2.5
+        sim = fluid_sim(n=n, density=0.35, seed=7)
+        state = sim.state
+        types = jnp.asarray(np.arange(n) % 2, dtype=jnp.int32)
+        state = dataclasses.replace(state, types=types)
+        lengths = np.asarray(htf.box_size(state.box))
+        lo = np.asarray(state.box[0])
+        plan = cw.plan_cellwise(n, lengths, r_cut,
+                                positions=np.asarray(state.positions),
+                                lo=lo)
+        layout = SlotLayout(plan, n, lo)
+        slot_state, aux, _ = layout.pack(state)
+
+        def lj(r2, ti, tj):
+            u = 1.0 / r2
+            sr6 = u * u * u
+            eps = jnp.where((ti == 0) & (tj == 0), 1.0, 0.5)
+            return (4.0 * eps * (sr6 * sr6 - sr6),
+                    -12.0 * eps * (2.0 * sr6 - 1.0) * sr6 * u)
+
+        for rc_matrix in (None,
+                          np.array([[2.5, 1.8], [1.8, 2.2]],
+                                   dtype=np.float32)):
+            args = (slot_state.positions, slot_state.types, aux["valid"],
+                    plan, layout.lo, lj)
+            kw = dict(needs_virial=True, with_types=True,
+                      rcut_matrix=rc_matrix)
+            f_half, w_half = cw.analytic_pair_forces(
+                *args, stencil="half", **kw)
+            f_full, w_full = cw.analytic_pair_forces(
+                *args, stencil="full", **kw)
+            np.testing.assert_allclose(np.asarray(f_half),
+                                       np.asarray(f_full),
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(w_half),
+                                       np.asarray(w_full),
+                                       rtol=1e-4, atol=1e-4)
+            # ghost rows are exactly zero
+            gh = np.asarray(aux["valid"]) == 0
+            assert np.all(np.asarray(f_half)[gh] == 0)
+            # Newton: net force cancels pairwise (bit-exact per pair, so
+            # only the final summation rounding remains)
+            net = np.abs(np.asarray(f_half)[:, :3].sum(axis=0)).max()
+            assert net < 1e-2, net
+
+    def test_pallas_kernel_matches_xla(self):
+        """The Pallas half-stencil kernel (interpreter mode on CPU)
+        reproduces the XLA full stencil: forces, energy, virial, typed
+        cutoff matrix."""
+        n, r_cut = 200, 2.5
+        sim = fluid_sim(n=n, density=0.3, seed=11)
+        state = dataclasses.replace(
+            sim.state, types=jnp.asarray(np.arange(n) % 2, jnp.int32))
+        lengths = np.asarray(htf.box_size(state.box))
+        lo = np.asarray(state.box[0])
+        plan = cw.plan_cellwise(n, lengths, r_cut,
+                                positions=np.asarray(state.positions),
+                                lo=lo)
+        layout = SlotLayout(plan, n, lo)
+        slot_state, aux, _ = layout.pack(state)
+
+        def lj(r2, ti, tj):
+            u = 1.0 / r2
+            sr6 = u * u * u
+            eps = jnp.where((ti == 0) & (tj == 0), 1.0, 0.5)
+            return (4.0 * eps * (sr6 * sr6 - sr6),
+                    -12.0 * eps * (2.0 * sr6 - 1.0) * sr6 * u)
+
+        for rc_matrix in (None,
+                          np.array([[2.5, 1.8], [1.8, 2.2]],
+                                   dtype=np.float32)):
+            args = (slot_state.positions, slot_state.types, aux["valid"],
+                    plan, layout.lo, lj)
+            kw = dict(needs_virial=True, with_types=True,
+                      rcut_matrix=rc_matrix)
+            f_pl, w_pl = cw.analytic_pair_forces(
+                *args, stencil="pallas", **kw)
+            f_ref, w_ref = cw.analytic_pair_forces(
+                *args, stencil="full", **kw)
+            np.testing.assert_allclose(np.asarray(f_pl),
+                                       np.asarray(f_ref),
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(w_pl),
+                                       np.asarray(w_ref),
+                                       rtol=1e-4, atol=1e-4)
+
     def test_pack_unpack_roundtrip(self):
         n = 128
         sim = fluid_sim(n=n, density=0.3, kT_init=1.0)

@@ -336,41 +336,55 @@ class TestSlopeOverride:
                                    atol=1e-6)
 
 
-class TestReplanHint:
-    def test_warns_on_stale_capacity(self):
+class TestAutoReplan:
+    def _stale(self, sim):
+        """Install a deliberately fat (cold-start-like) plan."""
         import dataclasses as _dc
-        import warnings as _w
         from hoomd_tf_tpu.md.slots import SlotLayout
+        layout = sim._ensure_layout()
+        fat = SlotLayout(
+            _dc.replace(layout.plan, capacity=layout.plan.capacity * 2),
+            sim.state.n_particles, layout.lo)
+        sim._layout = fat
+        sim._replan_check_step = -1
+        return fat
+
+    def test_auto_replan_tightens(self):
+        """A stale plan is automatically replaced at the next run()
+        boundary (the engine's analog of HOOMD's self-resizing cell
+        list), and the trajectory continues unchanged."""
         sim = make_fluid(216, seed=20)
         tfc = htf.tfcompute(PairLJ(16))
         tfc.attach(sim, r_cut=2.0, nlist="cellwise")
         sim.run(120)
-        layout = sim._ensure_layout()
-        # a cold-start plan that measured 2x the equilibrated occupancy
-        fat = SlotLayout(
-            _dc.replace(layout.plan, capacity=layout.plan.capacity * 2),
-            sim.state.n_particles, layout.lo)
-        with _w.catch_warnings(record=True) as rec:
-            _w.simplefilter("always")
-            sim._maybe_suggest_replan(fat)
-            msgs = [str(r.message) for r in rec]
-        assert any("replan" in m for m in msgs), msgs
-        # hint fires once per layout
-        with _w.catch_warnings(record=True) as rec:
-            _w.simplefilter("always")
-            sim._maybe_suggest_replan(fat)
-        assert not any("replan" in str(r.message) for r in rec)
+        fat = self._stale(sim)
+        sim.run(5)
+        new_plan = sim._ensure_layout().plan
+        assert new_plan.capacity < fat.plan.capacity
 
-    def test_no_warning_when_tight(self):
+    def test_opt_out_warns_instead(self):
         import warnings as _w
+        sim = make_fluid(216, seed=20)
+        sim.auto_replan = False
+        tfc = htf.tfcompute(PairLJ(16))
+        tfc.attach(sim, r_cut=2.0, nlist="cellwise")
+        sim.run(120)
+        fat = self._stale(sim)
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            sim.run(5)
+        assert any("replan" in str(r.message) for r in rec)
+        assert sim._ensure_layout() is fat  # plan untouched
+
+    def test_no_replan_when_tight(self):
         sim = make_fluid(216, seed=21)
         tfc = htf.tfcompute(PairLJ(16))
         tfc.attach(sim, r_cut=2.0, nlist="cellwise")
         sim.run(120)
-        with _w.catch_warnings(record=True) as rec:
-            _w.simplefilter("always")
-            sim.run(5)
-        assert not any("replan" in str(r.message) for r in rec)
+        layout = sim._ensure_layout()
+        sim._replan_check_step = -1
+        sim.run(5)
+        assert sim._ensure_layout() is layout
 
 
 class TestPairModelSerialization:

@@ -1,5 +1,6 @@
-"""Multi-device sharding on the 8-device virtual CPU mesh: sharded neighbor
-build, particle-sharded force evaluation, sharded training step."""
+"""Multi-device execution on the 8-device virtual CPU mesh: the unified
+sharded engine (Simulation + mesh), frame-data-parallel training, and the
+explicit halo-ring reference implementation."""
 
 import jax
 import jax.numpy as jnp
@@ -8,8 +9,7 @@ import numpy as np
 import hoomd_tf_tpu as htf
 import zoo
 from hoomd_tf_tpu.models.module import get_state
-from hoomd_tf_tpu.parallel import (make_mesh, sharded_nlist,
-                                   sharded_force_fn, sharded_train_step)
+from hoomd_tf_tpu.parallel import make_mesh, sharded_train_step
 
 
 def random_pos4(n, L, seed=0):
@@ -26,38 +26,6 @@ def lattice_pos4(n, a=1.3, seed=0, jitter=0.05):
     pos = pos + jitter * rng.randn(*pos.shape).astype(np.float32)
     pos4 = np.concatenate([pos, np.zeros((n, 1), np.float32)], axis=1)
     return jnp.asarray(pos4), lengths
-
-
-class TestShardedNlist:
-    def test_matches_single_device(self):
-        n, L, r_cut, NN = 64, 8.0, 3.0, 16
-        pos4 = random_pos4(n, L)
-        box = htf.box_from_lengths([L, L, L])
-        mesh = make_mesh(8)
-        sharded = np.asarray(sharded_nlist(pos4, r_cut, NN, box, mesh))
-        dense = np.asarray(htf.compute_nlist(
-            pos4, r_cut, NN, [L, L, L], sorted=True, return_types=True))
-        np.testing.assert_allclose(sharded, dense, atol=1e-5)
-
-
-class TestShardedForces:
-    def test_matches_single_device(self):
-        n, L, r_cut, NN = 64, 8.0, 3.0, 16
-        model = zoo.LJModel(NN)
-        pos4 = random_pos4(n, L)
-        box = htf.box_from_lengths([L, L, L])
-        mesh = make_mesh(8)
-        nlist = htf.compute_nlist(pos4, r_cut, NN, [L, L, L],
-                                  sorted=True, return_types=True)
-        model.ensure_built([nlist, pos4, box])
-        values = get_state(model)
-
-        fn = sharded_force_fn(model, r_cut, mesh)
-        forces_sharded, _ = jax.jit(fn)(values, pos4, box)
-        forces_single = model([nlist, pos4, box])[0]
-        np.testing.assert_allclose(np.asarray(forces_sharded),
-                                   np.asarray(forces_single),
-                                   rtol=1e-4, atol=1e-5)
 
 
 class TestHaloExchange:
@@ -113,47 +81,6 @@ class TestHaloExchange:
             row += cmax
 
 
-class TestShardedMD:
-    def test_matches_single_device_trajectory(self):
-        """The complete sharded NVE step (integration + allgather + model)
-        reproduces the single-device Simulation trajectory."""
-        from hoomd_tf_tpu.parallel import simulate_sharded
-
-        n, r_cut, NN, dt, steps = 64, 2.5, 16, 0.001, 10
-        pos4, lengths = lattice_pos4(n, a=1.3, seed=6, jitter=0.05)
-        box = htf.box_from_lengths(lengths)
-        L = float(lengths[0])
-        mesh = make_mesh(8)
-
-        # single-device oracle through the Simulation engine
-        model_a = zoo.LJModel(NN)
-        sim = htf.Simulation(dt=dt, integrator=htf.md.NVE(), seed=0)
-        sim.init_state(np.asarray(pos4), lengths,
-                       velocities=np.zeros((n, 3), np.float32))
-        tfc = htf.tfcompute(model_a)
-        tfc.attach(sim, r_cut=r_cut, nlist="n2")
-        sim.run(steps)
-
-        # sharded run
-        model_b = zoo.LJModel(NN)
-        nlist = htf.compute_nlist(pos4, r_cut, NN, [L, L, L],
-                                  sorted=True, return_types=True)
-        model_b.ensure_built([nlist, pos4, box])
-        from hoomd_tf_tpu.models.module import get_state
-        values = get_state(model_b)
-        vel = jnp.zeros((n, 3), jnp.float32)
-        masses = jnp.ones(n, jnp.float32)
-        pos_out, vel_out, forces_out, _ = simulate_sharded(
-            model_b, values, pos4, vel, masses, box, mesh, r_cut, dt,
-            steps)
-        np.testing.assert_allclose(np.asarray(pos_out)[:, :3],
-                                   np.asarray(sim.state.positions),
-                                   atol=1e-4)
-        np.testing.assert_allclose(np.asarray(vel_out),
-                                   np.asarray(sim.state.velocities),
-                                   atol=1e-4)
-
-
 class TestShardedSimulation:
     def test_nvt_run_and_thermo(self):
         """The multi-chip Simulation front end: lattice init, attach,
@@ -204,24 +131,44 @@ class TestShardedSimulation:
                                    atol=1e-4)
 
 
-class TestShardedTraining:
-    def test_loss_decreases(self):
-        import optax
-        n, r_cut, NN = 64, 3.0, 16
-        model = zoo.TrainableGraph(NN)
-        model.lj.w.assign(jnp.asarray([0.7, 1.2]))
-        pos4, lengths = lattice_pos4(n, seed=2)
+class TestFrameDataParallelTraining:
+    """Offline force-matching with trajectory FRAMES sharded over the
+    mesh -- the data-parallel axis of SURVEY.md section 2.3 (reference
+    examples 06/08), built on the model's standard call (no second
+    force engine)."""
+
+    @staticmethod
+    def _frames(n=64, NN=16, r_cut=3.0, n_frames=8, seed=2):
+        """n_frames jittered-lattice frames + LJ label forces."""
+        import hoomd_tf_tpu.md as md
+        rng = np.random.RandomState(seed)
+        base, lengths = htf.md.lattice_positions(n, a=1.3)
         L = float(lengths[0])
         box = htf.box_from_lengths(lengths)
-        mesh = make_mesh(8)
-        nlist = htf.compute_nlist(pos4, r_cut, NN, [L, L, L],
-                                  sorted=True, return_types=True)
-        model.ensure_built([nlist, pos4, box])
-        # labels from the true LJ
-        import hoomd_tf_tpu.md as md
+        lj = md.LennardJones(r_cut=r_cut)
         sim = htf.Simulation()
-        sim.init_state(np.asarray(pos4), [L, L, L])
-        labels, _ = md.LennardJones(r_cut=r_cut)(sim.state, nlist)
+        nls, p4s, labs = [], [], []
+        for _ in range(n_frames):
+            pos = base + 0.05 * rng.randn(n, 3).astype(np.float32)
+            pos4 = jnp.asarray(np.concatenate(
+                [pos, np.zeros((n, 1), np.float32)], axis=1))
+            nl = htf.compute_nlist(pos4, r_cut, NN, [L, L, L],
+                                   sorted=True, return_types=True)
+            sim.init_state(np.asarray(pos), [L, L, L])
+            lab, _ = lj(sim.state, nl)
+            nls.append(nl)
+            p4s.append(pos4)
+            labs.append(lab)
+        return (jnp.stack(nls), jnp.stack(p4s), jnp.stack(labs), box)
+
+    def test_loss_decreases(self):
+        import optax
+        NN = 16
+        model = zoo.TrainableGraph(NN)
+        model.lj.w.assign(jnp.asarray([0.7, 1.2]))
+        nlist_b, pos4_b, labels_b, box = self._frames(NN=NN)
+        model.ensure_built([nlist_b[0], pos4_b[0], box])
+        mesh = make_mesh(8)
 
         values = get_state(model)
         variables = model.variables
@@ -229,51 +176,50 @@ class TestShardedTraining:
         params = [values[i] for i in t_idx]
         optimizer = optax.adam(5e-2)
         opt_state = optimizer.init(params)
-        step = jax.jit(sharded_train_step(model, optimizer, r_cut, mesh))
+        step = jax.jit(sharded_train_step(model, optimizer, mesh))
         losses = []
         for _ in range(30):
             loss, params, opt_state = step(params, values, opt_state,
-                                           pos4, box, labels)
+                                           nlist_b, pos4_b, box, labels_b)
             losses.append(float(loss))
         assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
 
     def test_grads_match_single_device(self):
-        """psum'd sharded gradients == single-device gradients."""
+        """pmean'd frame-sharded gradients == single-device gradients of
+        the mean-over-frames loss."""
         import optax
-        n, L, r_cut, NN = 32, 8.0, 3.0, 8
+        NN = 8
         model = zoo.TrainableGraph(NN)
-        pos4 = random_pos4(n, L, seed=3)
-        box = htf.box_from_lengths([L, L, L])
-        nlist = htf.compute_nlist(pos4, r_cut, NN, [L, L, L],
-                                  sorted=True, return_types=True)
-        model.ensure_built([nlist, pos4, box])
-        labels = jnp.zeros((n, 4))
+        nlist_b, pos4_b, labels_b, box = self._frames(n=32, NN=NN, seed=3)
+        model.ensure_built([nlist_b[0], pos4_b[0], box])
         values = get_state(model)
         variables = model.variables
         t_idx = [i for i, v in enumerate(variables) if v.trainable]
         params = [values[i] for i in t_idx]
 
-        # single-device gradient
         def loss_single(params):
             vals = list(values)
             for i, p in zip(t_idx, params):
                 vals[i] = p
             from hoomd_tf_tpu.models.module import functional_call
-            (out,), _ = functional_call(model, vals,
-                                        lambda: model([nlist, pos4, box],
-                                                      training=True))
-            return jnp.mean((out[:, :3] - labels[:, :3]) ** 2)
+
+            def frame(nl, p4, lab):
+                (out,), _ = functional_call(
+                    model, vals, lambda: model([nl, p4, box],
+                                               training=True))
+                return jnp.mean((out[:, :3] - lab[:, :3]) ** 2)
+
+            return jnp.mean(jax.vmap(frame)(nlist_b, pos4_b, labels_b))
 
         g_single = jax.grad(loss_single)(params)
 
-        # sharded: one optimizer step with lr epsilon, recover grad via adam?
-        # simpler: use sgd(1.0) so params' delta == -grad
+        # sgd(1.0): params' delta == -grad
         mesh = make_mesh(8)
         optimizer = optax.sgd(1.0)
         opt_state = optimizer.init(params)
-        step = jax.jit(sharded_train_step(model, optimizer, r_cut, mesh))
-        _, new_params, _ = step(params, values, opt_state, pos4, box,
-                                labels)
+        step = jax.jit(sharded_train_step(model, optimizer, mesh))
+        _, new_params, _ = step(params, values, opt_state, nlist_b,
+                                pos4_b, box, labels_b)
         g_sharded = [p - np_ for p, np_ in zip(params, new_params)]
         for gs, g1 in zip(g_sharded, g_single):
             np.testing.assert_allclose(np.asarray(gs), np.asarray(g1),
