@@ -110,11 +110,13 @@ class NPT(NVT):
     the carried state, so rescaling it is just another array op in the
     jitted step.
 
-    Requires a neighbor strategy that tolerates a changing box:
-    ``nlist='n2'`` (the dense build reads the box dynamically). The
-    static-geometry modes (cell/direct/cellwise) plan their grid from
-    the initial box and raise a clear error when combined with a
-    box-changing integrator.
+    Works with ``nlist='n2'`` (the dense build reads the box
+    dynamically) and with ``nlist='cellwise'``, where the engine builds
+    a DYNAMIC slot layout: the grid/capacity stay static but all
+    geometry (cell centers, edges, stencil offsets, binning) derives
+    from the current box each step -- a barostat rescale is affine, so
+    the fractional slot assignment is preserved (md/slots.py). The
+    remaining static-geometry modes (cell/direct) raise a clear error.
 
     :param kT: target temperature.
     :param tau: thermostat coupling time.

@@ -142,21 +142,52 @@ class Simulation:
             self.tfc._warmup_cache = None
 
     # ------------------------------------------------------------------
+    def _max_occupancy_now(self, layout):
+        """Max particles-per-cell of the current positions on the
+        CURRENT grid, computed on-device (one jitted reduction + one
+        scalar readback). A host-side probe would ship the whole
+        position array through the (possibly remote) device link --
+        measured ~0.3 s per call at 64k via the TPU tunnel, which is
+        real money when it lands inside a timed run."""
+        from ..ops.cellwise import bin_cells
+        fn = getattr(layout, "_occ_probe", None)
+        if fn is None:
+            plan, lo = layout.plan, layout.lo
+
+            @jax.jit
+            def fn(pos3):
+                cell = bin_cells(pos3, lo, plan)
+                counts = jnp.zeros((plan.n_cells,), jnp.int32).at[cell] \
+                    .add(1, mode="drop")
+                return jnp.max(counts)
+            layout._occ_probe = fn
+        return int(np.asarray(fn(self.state.positions)))
+
     def _maybe_auto_replan(self, layout):
-        """Plan tightening at run() boundaries: when the fresh-plan lane
-        count is well below the active plan's (pair work scales with
-        capacity^2, so a stale cold-start plan quietly costs 1.5-2x),
-        re-plan automatically -- like HOOMD's self-resizing cell list.
-        With ``auto_replan=False`` only a warning is emitted. Checks are
-        throttled to once per 500 elapsed steps (the occupancy probe
-        pulls positions/velocities to the host)."""
+        """Plan tightening at run() boundaries: when the measured cell
+        occupancy is well below the planned capacity (pair work scales
+        with capacity^2, so a stale cold-start plan quietly costs
+        1.5-2x), re-plan automatically -- like HOOMD's self-resizing
+        cell list. With ``auto_replan=False`` only a warning is emitted.
+        The staleness check is a cheap device-side occupancy reduction,
+        throttled with exponential backoff (500 steps doubling to 8000)
+        while the plan keeps measuring tight."""
         step = int(np.asarray(self.state.step))
         if step < 100:
             return layout  # too early to judge (still equilibrating)
+        throttle = getattr(layout, "_replan_throttle", 500)
         if 0 <= self._replan_check_step and \
-                step - self._replan_check_step < 500:
+                step - self._replan_check_step < throttle:
             return layout
         self._replan_check_step = step
+        occ = self._max_occupancy_now(layout)
+        # a fresh plan would size capacity ~ occ + 15% + 3 (ops/cellwise
+        # plan margin); only consider replanning when the active
+        # capacity is clearly beyond that
+        cap = layout.plan.capacity
+        if cap <= 1.25 * (occ + max(3, int(np.ceil(0.15 * occ)))):
+            layout._replan_throttle = min(throttle * 2, 8000)
+            return layout
         from ..ops.cellwise import _pad_to
         fresh = self._plan_from_current()
         if fresh is None:
@@ -168,6 +199,7 @@ class Simulation:
 
         cur, new = lanes(layout.plan), lanes(fresh)
         if cur <= 1.4 * new:
+            layout._replan_throttle = min(throttle * 2, 8000)
             return layout
         if not self.auto_replan:
             import warnings
@@ -215,19 +247,22 @@ class Simulation:
         from ..ops.cellwise import Cellwise, plan_cellwise
         from .slots import SlotLayout
         tfc = self.tfc
-        if getattr(self.integrator, "changes_box", False):
-            raise ValueError(
-                "The cellwise neighbor mode plans static geometry from "
-                "the initial box; box-changing integrators (NPT) need "
-                "attach(nlist='n2')")
+        # box-changing integrators (NPT) get a DYNAMIC layout: static
+        # grid/capacity, geometry derived from the current box per step
+        # (a barostat rescale is affine, so slot assignment is preserved
+        # in fractional space -- see md/slots.py)
+        dynamic = bool(getattr(self.integrator, "changes_box", False))
         lengths = np.asarray(box_size(self.state.box))
         lo = np.asarray(self.state.box[0])
         z_div = self.mesh.shape[self.shard_axis] if self.mesh else 1
         key = (float(tfc.r_cut),
                tfc.r_cut_matrix.tobytes()
                if tfc.r_cut_matrix is not None else None,
-               self.state.n_particles, self.dt, z_div,
-               tuple(float(v) for v in lengths))
+               self.state.n_particles, self.dt, z_div, dynamic,
+               # under a barostat the lengths drift between run() calls;
+               # the geometry is dynamic anyway, so the plan is keyed on
+               # the initial planning only
+               None if dynamic else tuple(float(v) for v in lengths))
         if self._layout is not None and self._layout_key == key:
             return self._layout
         plan = self._plan_from_current()
@@ -239,7 +274,8 @@ class Simulation:
                 f"r_cut={tfc.r_cut} (needs >= 3 cells per axis{extra}); "
                 "use nlist='n2' instead")
         self._layout = SlotLayout(plan, self.state.n_particles, lo,
-                                  rc_matrix=tfc.r_cut_matrix)
+                                  rc_matrix=tfc.r_cut_matrix,
+                                  dynamic_box=dynamic)
         self._layout_key = key
         return self._layout
 
@@ -260,10 +296,25 @@ class Simulation:
         vmag = np.sqrt((v * v).sum(-1)) if v.size else np.zeros(1)
         drift = self.dt * float(np.percentile(vmag, 99)) \
             if float(vmag.max()) > 0 else None
-        return plan_cellwise(
+        dynamic = bool(getattr(self.integrator, "changes_box", False))
+        if dynamic:
+            # barostat headroom: extra minimum skin so ~10% compression
+            # keeps a positive Verlet margin before geometry failure
+            base = config or Cellwise()
+            config = Cellwise(capacity=base.capacity,
+                              skin=max(base.skin, 0.15 * tfc.r_cut))
+        plan = plan_cellwise(
             self.state.n_particles, lengths, tfc.r_cut, config=config,
             positions=np.asarray(self.state.positions), lo=lo,
             drift_per_step=drift, z_divisor=z_div)
+        if plan is not None and dynamic and \
+                (config is None or config.capacity is None):
+            # compression densifies cells; 15% extra slots before the
+            # repack-overflow error fires
+            import dataclasses as _dc
+            plan = _dc.replace(
+                plan, capacity=int(np.ceil(plan.capacity * 1.15)))
+        return plan
 
     def _make_nlist_builder(self):
         """Resolve the neighbor-list strategy into a ``build(state)``
@@ -466,8 +517,14 @@ class Simulation:
                             for f in self.forces))
         # a pallas_call does not partition under sharding propagation:
         # meshed runs keep the full-stencil XLA form (which XLA turns
-        # into ring collectives over the z-rolls)
-        stencil_choice = "auto" if self.mesh is None else "full"
+        # into ring collectives over the z-rolls). HTF_CELLWISE_STENCIL
+        # overrides for single-device A/B measurements.
+        import os as _os
+        stencil_choice = _os.environ.get(
+            "HTF_CELLWISE_STENCIL",
+            "auto" if self.mesh is None else "full")
+        if self.mesh is not None:
+            stencil_choice = "full"
 
         def model_inputs(state, nlist, with_labels=False, labels=None):
             # optimization_barrier: without it XLA occasionally fuses the
@@ -565,6 +622,13 @@ class Simulation:
             # per-batch output appends (tensorflowcompute.py:331-339)
             return forces4, virial, extras_c, new_mv
 
+        def slot_geometry(state):
+            """(lo, lengths) for the analytic kernels: traced from the
+            current box in dynamic-box (NPT) mode, static otherwise."""
+            if layout.dynamic_box:
+                return state.box[0], box_size(state.box)
+            return layout.lo, None
+
         def builtin_forces(state, aux, nlist, subset=None):
             """Built-in force sum; analytic route on slot state when
             every selected force declares pair_energy."""
@@ -575,6 +639,7 @@ class Simulation:
                 dtype = state.positions.dtype
                 f = jnp.zeros((n, 4), dtype=dtype)
                 w = jnp.zeros((n, 3, 3), dtype=dtype)
+                geo_lo, geo_len = slot_geometry(state)
                 for force in lst:
                     if hasattr(force, "pair_energy_and_slope"):
                         su = force.pair_energy_and_slope
@@ -586,10 +651,10 @@ class Simulation:
                                            (r2,), (jnp.ones_like(r2),))
                     fi, wi = _cw.analytic_pair_forces(
                         state.positions, state.types, aux["valid"],
-                        layout.plan, layout.lo, su,
+                        layout.plan, geo_lo, su,
                         needs_virial=True, with_types=True,
                         rcut_matrix=layout.rc_matrix,
-                        stencil=stencil_choice)
+                        stencil=stencil_choice, lengths=geo_len)
                     f = f + fi
                     w = w + wi
                 return f, w
@@ -601,14 +666,15 @@ class Simulation:
             dtype = state.positions.dtype
 
             def run():
+                geo_lo, geo_len = slot_geometry(state)
                 return _cw.analytic_pair_forces(
                     state.positions, state.types, aux["valid"],
-                    layout.plan, layout.lo, model.pair_energy_and_slope,
+                    layout.plan, geo_lo, model.pair_energy_and_slope,
                     needs_virial=self._step_flags(log)[1],
                     min_r2=model.min_r2,
                     with_types=model.pair_with_types,
                     rcut_matrix=layout.rc_matrix,
-                    stencil=stencil_choice)
+                    stencil=stencil_choice, lengths=geo_len)
 
             (f4, w), new_mv = _functional(model, mv, run)
             if w is None:
@@ -705,6 +771,9 @@ class Simulation:
                 else:
                     nlist = None
                 cell_overflow = aux["overflow"]
+                if layout.dynamic_box:
+                    cell_overflow = jnp.logical_or(
+                        cell_overflow, layout.geometry_bad(state))
             else:
                 # CG mapped positions write-back (reference precompute,
                 # simmodel.py:289-339) happens before the nlist build
@@ -1027,9 +1096,10 @@ class Simulation:
         if bool(np.asarray(overflow)):
             raise ValueError(
                 "Cell capacity exceeded during the run (a cell held "
-                "more particles than planned). Increase "
-                "CellList(capacity=) / Cellwise(capacity=) or attach "
-                "with nlist='n2'.")
+                "more particles than planned, or -- under a barostat -- "
+                "the box shrank until min(edge) < r_cut or went "
+                "non-finite). Increase CellList(capacity=) / "
+                "Cellwise(capacity=) or attach with nlist='n2'.")
         if tfc:
             set_state(tfc.model, mv)
             tfc._model_forces = mf if carry_mf else None

@@ -22,6 +22,16 @@ scan instead of the particle-order state:
 The thermostat degrees of freedom are those of the *real* particles;
 ``pack`` records them in ``state.thermostat['dof']``, which
 :class:`.integrators.NVT` and :func:`.thermo.temperature` honor.
+
+**Dynamic-box mode** (``dynamic_box=True``, used for NPT): the grid and
+capacity stay static but every geometric quantity (cell centers, edges,
+binning, stencil offsets) derives from the CURRENT ``state.box`` inside
+the step. A barostat rescale is affine, so fractional coordinates -- and
+therefore the slot assignment -- are preserved by construction; only the
+physical cell edge changes. The Verlet criterion then runs in fractional
+space scaled by the current box (``ref`` stores fractional coordinates),
+and a shrink that leaves ``min(edge) < r_cut`` (geometry can no longer
+cover the cutoff) is surfaced through the overflow flag.
 """
 
 import dataclasses
@@ -29,6 +39,7 @@ import dataclasses
 import jax.numpy as jnp
 
 from ..ops import cellwise as cw
+from ..ops.box import box_size
 
 __all__ = ["SlotLayout"]
 
@@ -39,14 +50,19 @@ class SlotLayout:
 
     :param plan: static geometry (grid, capacity, box lengths, r_cut).
     :param n_real: number of real particles.
-    :param lo: box lower corner (concrete ``[3]``).
+    :param lo: box lower corner (concrete ``[3]``; in dynamic-box mode
+        only used as the planning-time value).
+    :param rc_matrix: per-type-pair cutoffs (or None).
+    :param dynamic_box: derive geometry from ``state.box`` per step.
     """
 
-    def __init__(self, plan, n_real, lo, rc_matrix=None):
+    def __init__(self, plan, n_real, lo, rc_matrix=None,
+                 dynamic_box=False):
         self.plan = plan
         self.n = int(n_real)
         self.lo = tuple(float(v) for v in lo)
         self.rc_matrix = rc_matrix  # per-type-pair cutoffs (or None)
+        self.dynamic_box = bool(dynamic_box)
         # jitted run()-boundary converters (eager op-by-op dispatch is
         # latency-bound through a remote TPU); cached on the layout so
         # repeat runs hit the compile cache
@@ -55,8 +71,23 @@ class SlotLayout:
         self.unpack_jit = jax.jit(self.unpack)
 
     # ------------------------------------------------------------------
-    def centers(self, dtype):
-        return cw.slot_cell_centers(self.plan, self.lo, dtype)
+    def _geom(self, state):
+        """(lo, lengths) -- static plan values, or traced from the
+        state's box in dynamic-box mode."""
+        if self.dynamic_box:
+            return state.box[0], box_size(state.box)
+        return self.lo, None
+
+    def centers(self, dtype, state=None):
+        lo, lengths = self._geom(state) if (
+            self.dynamic_box and state is not None) else (self.lo, None)
+        return cw.slot_cell_centers(self.plan, lo, dtype, lengths=lengths)
+
+    def _frac(self, positions, lo, lengths, dtype):
+        L = jnp.asarray(lengths if lengths is not None
+                        else self.plan.lengths, dtype=dtype)
+        f = (positions - jnp.asarray(lo, dtype=dtype)) / L
+        return f - jnp.floor(f)
 
     # ------------------------------------------------------------------
     def pack(self, state, extra_rows=()):
@@ -66,14 +97,15 @@ class SlotLayout:
         plan = self.plan
         n_slots = plan.n_slots
         dtype = state.positions.dtype
+        lo, lengths = self._geom(state)
         valid_n = jnp.ones((self.n,), dtype=dtype)
         order, new_slot, kept, overflow = cw.repack_order(
-            state.positions, valid_n, self.lo, plan)
+            state.positions, valid_n, lo, plan, lengths=lengths)
 
         def put(vals, base):
             return base.at[new_slot].set(vals[order], mode="drop")
 
-        centers = self.centers(dtype)
+        centers = self.centers(dtype, state)
         positions = put(state.positions, centers)
         velocities = put(state.velocities,
                          jnp.zeros((n_slots, 3), dtype=dtype))
@@ -91,7 +123,9 @@ class SlotLayout:
             state, positions=positions, velocities=velocities, types=types,
             masses=masses, forces=forces, virial=virial,
             thermostat=thermostat)
-        aux = {"valid": valid, "orig": orig, "ref": positions,
+        aux = {"valid": valid, "orig": orig,
+               "ref": (self._frac(positions, lo, lengths, dtype)
+                       if self.dynamic_box else positions),
                "overflow": overflow}
         packed = tuple(
             put(e, jnp.zeros((n_slots,) + e.shape[1:], e.dtype))
@@ -123,9 +157,24 @@ class SlotLayout:
     # ------------------------------------------------------------------
     def needs_rebuild(self, slot_state, aux):
         """Verlet criterion: any particle drifted more than ``skin / 2``
-        since the last repack (ghosts are pinned, so they contribute 0)."""
+        since the last repack (ghosts are pinned, so they contribute 0).
+
+        Dynamic-box mode: drift is fractional-displacement times the
+        CURRENT box (slot assignment is fractional, and an affine box
+        rescale moves no particle in fractional space), and the skin is
+        the current ``min(edge) - r_cut``."""
         plan = self.plan
         dtype = slot_state.positions.dtype
+        if self.dynamic_box:
+            lo, lengths = self._geom(slot_state)
+            L = jnp.asarray(lengths, dtype=dtype)
+            d = self._frac(slot_state.positions, lo, lengths,
+                           dtype) - aux["ref"]
+            d = (d - jnp.round(d)) * L
+            d2 = jnp.sum(d * d, axis=-1)
+            edges = L / jnp.asarray(plan.grid, dtype=dtype)
+            half_skin = jnp.maximum(jnp.min(edges) - plan.r_cut, 0.0) / 2.0
+            return jnp.max(d2) >= (half_skin * 0.98) ** 2
         d = slot_state.positions - aux["ref"]
         lengths = jnp.asarray(plan.lengths, dtype=dtype)
         d = d - jnp.round(d / lengths) * lengths
@@ -141,13 +190,14 @@ class SlotLayout:
         plan = self.plan
         n_slots = plan.n_slots
         dtype = slot_state.positions.dtype
+        lo, lengths = self._geom(slot_state)
         order, new_slot, kept, overflow = cw.repack_order(
-            slot_state.positions, aux["valid"], self.lo, plan)
+            slot_state.positions, aux["valid"], lo, plan, lengths=lengths)
 
         def put(vals, base):
             return base.at[new_slot].set(vals[order], mode="drop")
 
-        centers = self.centers(dtype)
+        centers = self.centers(dtype, slot_state)
         positions = put(slot_state.positions, centers)
         velocities = put(slot_state.velocities,
                          jnp.zeros((n_slots, 3), dtype=dtype))
@@ -162,7 +212,9 @@ class SlotLayout:
         new_state = dataclasses.replace(
             slot_state, positions=positions, velocities=velocities,
             types=types, masses=masses)
-        new_aux = {"valid": valid, "orig": orig, "ref": positions,
+        new_aux = {"valid": valid, "orig": orig,
+                   "ref": (self._frac(positions, lo, lengths, dtype)
+                           if self.dynamic_box else positions),
                    "overflow": jnp.logical_or(aux["overflow"], overflow)}
         packed = tuple(
             put(e, jnp.zeros((n_slots,) + e.shape[1:], e.dtype))
@@ -173,9 +225,11 @@ class SlotLayout:
     def planes(self, slot_state, aux):
         """Masked :class:`..ops.direct.NlistPlanes` for the current slot
         positions (rolls; fully fusable, see ops/cellwise.py)."""
+        _, lengths = self._geom(slot_state)
         return cw.cellwise_planes(slot_state.positions, slot_state.types,
                                   aux["valid"], self.plan,
-                                  rcut_matrix=self.rc_matrix)
+                                  rcut_matrix=self.rc_matrix,
+                                  lengths=lengths)
 
     # ------------------------------------------------------------------
     def ghost_pin(self, slot_state, aux):
@@ -184,11 +238,22 @@ class SlotLayout:
         every row; ghosts must not move)."""
         dtype = slot_state.positions.dtype
         valid = aux["valid"][:, None]
-        centers = self.centers(dtype)
+        centers = self.centers(dtype, slot_state)
         return dataclasses.replace(
             slot_state,
             positions=jnp.where(valid > 0, slot_state.positions, centers),
             velocities=slot_state.velocities * valid)
+
+    def geometry_bad(self, slot_state):
+        """Dynamic-box failure check, evaluated every step: a box shrunk
+        until ``min(edge) < r_cut`` can no longer cover the cutoff with
+        the 27-stencil (repacking cannot fix it -- the grid is static),
+        and a non-finite box means the integrator diverged. Written as
+        ``not (edge >= r_cut)`` so NaN propagates to True."""
+        dtype = slot_state.positions.dtype
+        L = box_size(slot_state.box).astype(dtype)
+        edges = L / jnp.asarray(self.plan.grid, dtype=dtype)
+        return jnp.logical_not(jnp.min(edges) >= self.plan.r_cut)
 
     def mask_rows(self, forces4, virial, aux):
         """Zero force/energy/virial rows of ghost slots."""

@@ -231,13 +231,21 @@ def plan_cellwise(n, box_lengths, r_cut, config=None, positions=None,
     return best[1] if best else None
 
 
-def slot_cell_centers(plan, lo, dtype=jnp.float32):
+def slot_cell_centers(plan, lo, dtype=jnp.float32, lengths=None):
     """``[n_slots, 3]`` cell-center coordinates -- the parking spot for
     ghost slots (safely inside the box: min-image math never sees a far
-    sentinel, and position wrapping is a fixed point there)."""
+    sentinel, and position wrapping is a fixed point there).
+
+    ``lo``/``lengths`` may be traced values (dynamic-box mode, NPT): the
+    grid is static, the geometry scales with the box."""
     nx, ny, nz = plan.grid
     cap = plan.capacity
-    ex, ey, ez = plan.edges
+    if lengths is None:
+        ex, ey, ez = plan.edges
+    else:
+        lengths = jnp.asarray(lengths, dtype=dtype)
+        dims = jnp.asarray(plan.grid, dtype=dtype)
+        ex, ey, ez = (lengths[i] / dims[i] for i in range(3))
     cell = jnp.arange(plan.n_slots) // cap
     cx = (cell % nx).astype(dtype)
     cy = ((cell // nx) % ny).astype(dtype)
@@ -248,11 +256,14 @@ def slot_cell_centers(plan, lo, dtype=jnp.float32):
                       lo[2] + (cz + 0.5) * ez], axis=-1)
 
 
-def bin_cells(pos3, lo, plan):
+def bin_cells(pos3, lo, plan, lengths=None):
     """Flat cell id per row (x-minor / z-major layout, matching the
-    ``[nz, ny, nx, cap]`` slot view)."""
+    ``[nz, ny, nx, cap]`` slot view). ``lo``/``lengths`` may be traced
+    (dynamic-box mode)."""
     dtype = pos3.dtype
-    lengths = jnp.asarray(plan.lengths, dtype=dtype)
+    if lengths is None:
+        lengths = plan.lengths
+    lengths = jnp.asarray(lengths, dtype=dtype)
     dims = jnp.asarray(plan.grid, dtype=jnp.int32)
     frac = (pos3 - jnp.asarray(lo, dtype=dtype)) / lengths
     frac = frac - jnp.floor(frac)
@@ -291,7 +302,8 @@ def _roll_back(block, plan, off):
         plan.n_cells, plan.capacity)
 
 
-def cellwise_planes(positions, types, valid, plan, rcut_matrix=None):
+def cellwise_planes(positions, types, valid, plan, rcut_matrix=None,
+                    lengths=None):
     """Masked candidate planes for slot-resident state.
 
     :param positions: ``[n_slots, 3]`` slot positions (ghosts at centers).
@@ -299,6 +311,8 @@ def cellwise_planes(positions, types, valid, plan, rcut_matrix=None):
     :param valid: ``[n_slots]`` 1.0 for real rows, 0.0 for ghosts.
     :param rcut_matrix: per-type-pair ``[ntypes, ntypes]`` cutoffs
         (negative = never neighbors; ``plan.r_cut`` must be its max).
+    :param lengths: dynamic box lengths ``[3]`` (traced; dynamic-box
+        mode). Defaults to the plan's static lengths.
     :returns: :class:`.direct.NlistPlanes` with ``[n_slots, 27*cap]``
         components; ghost *rows* and ghost *candidates* are exactly zero,
         like the padded slots of the packed nlist.
@@ -314,7 +328,10 @@ def cellwise_planes(positions, types, valid, plan, rcut_matrix=None):
     def mi(d, L):
         return d - jnp.round(d / L) * L
 
-    Lx, Ly, Lz = (jnp.asarray(v, dtype=dtype) for v in plan.lengths)
+    if lengths is None:
+        lengths = plan.lengths
+    lengths = jnp.asarray(lengths, dtype=dtype)
+    Lx, Ly, Lz = lengths[0], lengths[1], lengths[2]
     ddx = mi(gx.reshape(n_cells, 1, C) - px.reshape(n_cells, cap, 1), Lx)
     ddy = mi(gy.reshape(n_cells, 1, C) - py.reshape(n_cells, cap, 1), Ly)
     ddz = mi(gz.reshape(n_cells, 1, C) - pz.reshape(n_cells, cap, 1), Lz)
@@ -339,9 +356,54 @@ def cellwise_planes(positions, types, valid, plan, rcut_matrix=None):
                        zero).reshape(n_slots, C))
 
 
+def _relative_coords(positions, valid, plan, lo, offs_list, lengths=None):
+    """Shared analytic-path prologue: cell-relative coordinates (ghosts
+    pushed FAR along x) and the per-direction candidate planes with the
+    static stencil offsets pre-added, so downstream displacement math is
+    exact without min-image rounding. ``lo``/``lengths`` may be traced
+    (dynamic-box mode); the stencil offsets then scale with the box."""
+    dtype = positions.dtype
+    cap = plan.capacity
+    C = len(offs_list) * cap
+    dynamic = lengths is not None
+    if dynamic:
+        L3 = jnp.asarray(lengths, dtype=dtype)
+        edges = L3 / jnp.asarray(plan.grid, dtype=dtype)
+        ioffs = np.asarray(offs_list, dtype=np.float32)  # [n_offs, 3]
+        offs = jnp.asarray(ioffs) * edges[None, :]       # traced
+        off_x = jnp.repeat(offs[:, 0], cap, total_repeat_length=C)
+        off_y = jnp.repeat(offs[:, 1], cap, total_repeat_length=C)
+        off_z = jnp.repeat(offs[:, 2], cap, total_repeat_length=C)
+        centers = slot_cell_centers(plan, lo, dtype, lengths=lengths)
+    else:
+        # static geometry: bake the offsets as numpy constants so they
+        # embed in the program instead of tracing through repeat ops
+        L3 = jnp.asarray(plan.lengths, dtype=dtype)
+        ex, ey, ez = plan.edges
+        noffs = np.array([(ox * ex, oy * ey, oz * ez)
+                          for (ox, oy, oz) in offs_list], dtype=np.float32)
+        off_x = jnp.asarray(np.repeat(noffs[:, 0], cap))
+        off_y = jnp.asarray(np.repeat(noffs[:, 1], cap))
+        off_z = jnp.asarray(np.repeat(noffs[:, 2], cap))
+        centers = slot_cell_centers(plan, lo, dtype)
+    FAR = 4.0 * float(max(plan.lengths))
+    q = positions - centers
+    # wrap: unwrapped trajectories may place a particle many boxes from
+    # its (wrapped-binning) cell; the relative coordinate is the
+    # physical position modulo box
+    q = q - jnp.round(q / L3) * L3
+    qx = q[:, 0] + (1.0 - valid) * FAR
+    qy, qz = q[:, 1], q[:, 2]
+
+    gx = _roll_offs(qx, plan, offs_list) + off_x
+    gy = _roll_offs(qy, plan, offs_list) + off_y
+    gz = _roll_offs(qz, plan, offs_list) + off_z
+    return qx, qy, qz, gx, gy, gz
+
+
 def analytic_pair_forces(positions, types, valid, plan, lo, pair_fn,
                          needs_virial=False, min_r2=1e-4, with_types=False,
-                         rcut_matrix=None, stencil="auto"):
+                         rcut_matrix=None, stencil="auto", lengths=None):
     """Forces/energy (and optionally virial) for a pair potential on
     slot-resident state, computed *analytically forward-only* -- the fast
     path behind :class:`..models.pair.PairModel`.
@@ -430,6 +492,7 @@ def analytic_pair_forces(positions, types, valid, plan, lo, pair_fn,
             positions, types, valid, plan, lo, pair_fn,
             needs_virial=needs_virial, min_r2=min_r2,
             with_types=with_types, rcut_matrix=rcut_matrix,
+            lengths=lengths,
             interpret=jax.default_backend() != "tpu")
     dtype = positions.dtype
     n_cells, cap = plan.n_cells, plan.capacity
@@ -437,27 +500,8 @@ def analytic_pair_forces(positions, types, valid, plan, lo, pair_fn,
     n_offs = len(offs_list)
     C = n_offs * cap
     rc2 = jnp.asarray(plan.r_cut * plan.r_cut, dtype=dtype)
-    L3 = jnp.asarray(plan.lengths, dtype=dtype)
-    ex, ey, ez = plan.edges
-    offs = np.array([(ox * ex, oy * ey, oz * ez) for (ox, oy, oz) in
-                     offs_list], dtype=np.float32)
-    FAR = 4.0 * float(max(plan.lengths))
-
-    centers = slot_cell_centers(plan, lo, dtype)
-    q = positions - centers
-    # wrap: unwrapped trajectories may place a particle many boxes from
-    # its (wrapped-binning) cell; the relative coordinate is the
-    # physical position modulo box
-    q = q - jnp.round(q / L3) * L3
-    qx = q[:, 0] + (1.0 - valid) * FAR
-    qy, qz = q[:, 1], q[:, 2]
-
-    gx = _roll_offs(qx, plan, offs_list) + \
-        jnp.asarray(np.repeat(offs[:, 0], cap))
-    gy = _roll_offs(qy, plan, offs_list) + \
-        jnp.asarray(np.repeat(offs[:, 1], cap))
-    gz = _roll_offs(qz, plan, offs_list) + \
-        jnp.asarray(np.repeat(offs[:, 2], cap))
+    qx, qy, qz, gx, gy, gz = _relative_coords(
+        positions, valid, plan, lo, offs_list, lengths)
 
     qxr = qx.reshape(n_cells, cap)
     qyr = qy.reshape(n_cells, cap)
@@ -536,8 +580,9 @@ def analytic_pair_forces(positions, types, valid, plan, lo, pair_fn,
     return forces4, virial
 
 
-def repack_order(positions, valid, lo, plan):
-    """Compute the slot permutation for a rebuild.
+def repack_order(positions, valid, lo, plan, lengths=None):
+    """Compute the slot permutation for a rebuild. ``lo``/``lengths``
+    may be traced (dynamic-box mode).
 
     :returns: ``(order, new_slot, kept, overflow)`` where row ``i`` of the
         repacked layout comes from ``old[order[i]]``... more precisely:
@@ -550,7 +595,7 @@ def repack_order(positions, valid, lo, plan):
     n_slots, cap = plan.n_slots, plan.capacity
     n_cells = plan.n_cells
     rows = positions.shape[0]  # n_slots for a rebuild, n for initial pack
-    cell = bin_cells(positions, lo, plan)
+    cell = bin_cells(positions, lo, plan, lengths=lengths)
     key = jnp.where(valid > 0, cell, n_cells)  # ghosts sort to the end
     order = jnp.argsort(key)
     sk = key[order]

@@ -34,8 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .cellwise import (_HALF_OFFS, _roll_offs, _roll_back,
-                       slot_cell_centers)
+from .cellwise import (_HALF_OFFS, _relative_coords, _roll_back)
 
 __all__ = ["half_stencil_pair_forces"]
 
@@ -106,7 +105,8 @@ def _kernel(pair_fn, with_types, rcut_matrix, cap, n_blocks, rc2, min_r2,
 def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
                              needs_virial=False, min_r2=1e-4,
                              with_types=False, rcut_matrix=None,
-                             block_cells=None, interpret=False):
+                             lengths=None, block_cells=None,
+                             interpret=False):
     """Drop-in equivalent of :func:`.cellwise.analytic_pair_forces`
     computed by the Pallas half-stencil kernel (same contract, same
     returns; see that docstring for the physics and masking rules).
@@ -123,27 +123,13 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
     offs_list = _HALF_OFFS
     n_blocks = len(offs_list)
     C = n_blocks * cap
-    L3 = jnp.asarray(plan.lengths, dtype=dtype)
-    ex, ey, ez = plan.edges
-    offs = np.array([(ox * ex, oy * ey, oz * ez) for (ox, oy, oz) in
-                     offs_list], dtype=np.float32)
-    FAR = 4.0 * float(max(plan.lengths))
-
-    centers = slot_cell_centers(plan, lo, dtype)
-    q = positions - centers
-    q = q - jnp.round(q / L3) * L3
-    qx = q[:, 0] + (1.0 - valid) * FAR
-    qy, qz = q[:, 1], q[:, 2]
-    gx = _roll_offs(qx, plan, offs_list) + \
-        jnp.asarray(np.repeat(offs[:, 0], cap))
-    gy = _roll_offs(qy, plan, offs_list) + \
-        jnp.asarray(np.repeat(offs[:, 1], cap))
-    gz = _roll_offs(qz, plan, offs_list) + \
-        jnp.asarray(np.repeat(offs[:, 2], cap))
+    _, _, _, gx, gy, gz = _relative_coords(
+        positions, valid, plan, lo, offs_list, lengths)
 
     need_types = with_types or rcut_matrix is not None
     inputs = [gx, gy, gz]
     if need_types:
+        from .cellwise import _roll_offs
         inputs.append(_roll_offs(types.astype(dtype), plan, offs_list))
 
     # grid blocking: pad n_cells to a multiple of the block size. Padded

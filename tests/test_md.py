@@ -485,8 +485,61 @@ class TestNPT:
             dt=0.002, integrator=htf.md.NPT(kT=0.9, tau=0.5, P=0.5))
         sim.init_lattice(216, density=0.4, kT_init=0.9)
         tfc = htf.tfcompute(zoo.LJVirialModel(24, virial=True))
-        tfc.attach(sim, r_cut=2.5, nlist="cellwise")
+        tfc.attach(sim, r_cut=2.5, nlist="cell")
         with pytest.raises(ValueError, match="n2"):
+            sim.run(2)
+
+    def test_npt_cellwise_matches_dense(self):
+        """NPT through the dynamic slot layout (geometry from the
+        current box each step) reproduces the n2 trajectory AND box."""
+        def run(mode, n=512):
+            import dataclasses
+            sim = htf.Simulation(
+                dt=0.002, seed=7,
+                integrator=htf.md.NPT(kT=0.9, tau=0.5, P=0.5, tauP=0.5))
+            sim.init_lattice(n, density=0.4, kT_init=0.9)
+            rng = np.random.RandomState(7)
+            sim.state = dataclasses.replace(
+                sim.state, positions=sim.state.positions +
+                0.05 * jnp.asarray(
+                    rng.uniform(-1, 1, (n, 3)).astype(np.float32)))
+            tfc = htf.tfcompute(zoo.LJVirialModel(48, virial=True))
+            tfc.attach(sim, r_cut=2.0, nlist=mode)
+            sim.run(25)
+            return (np.asarray(sim.state.positions),
+                    np.asarray(htf.box_size(sim.state.box)))
+
+        pos_cw, box_cw = run("cellwise")
+        pos_n2, box_n2 = run("n2")
+        np.testing.assert_allclose(box_cw, box_n2, rtol=1e-5)
+        d = pos_cw - pos_n2
+        d = d - np.round(d / box_n2) * box_n2
+        np.testing.assert_allclose(d, np.zeros_like(d), atol=2e-4)
+
+    def test_npt_cellwise_overcompression_raises(self):
+        """A box shrunk until min(edge) < r_cut cannot cover the cutoff
+        with the static grid -- surfaced as the overflow error, not
+        silent wrong forces. (Uniform compression does NOT overflow cell
+        capacity: cells shrink with the box, so per-cell occupancy is
+        scale-invariant; the geometry check is the real guard.)"""
+        import dataclasses
+        sim = htf.Simulation(
+            dt=0.002, seed=8,
+            integrator=htf.md.NPT(kT=0.9, tau=0.5, P=0.5, tauP=0.5))
+        sim.init_lattice(512, density=0.4, kT_init=0.9)
+        tfc = htf.tfcompute(zoo.LJVirialModel(48, virial=True))
+        tfc.attach(sim, r_cut=2.0, nlist="cellwise")
+        sim.run(2)
+        # crush the box far past the barostat's own pace: the static
+        # grid's edge drops below r_cut
+        s = sim.state
+        center = 0.5 * (s.box[0] + s.box[1])
+        mu = 0.5
+        sim.state = dataclasses.replace(
+            s, positions=center + mu * (s.positions - center),
+            box=jnp.stack([center + mu * (s.box[0] - center),
+                           center + mu * (s.box[1] - center), s.box[2]]))
+        with pytest.raises(ValueError, match="apacity"):
             sim.run(2)
 
     def test_npt_auto_falls_back_to_dense(self):
