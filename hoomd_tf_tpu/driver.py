@@ -119,12 +119,13 @@ class tfcompute:
         from .ops.cellwise import Cellwise
         planes_mode = (nlist in ("direct", "cellwise") or
                        isinstance(nlist, Cellwise))
-        if planes_mode and (self.batch_size or self.map_enabled or
+        if planes_mode and (self.batch_size or
                             isinstance(self.model, MolSimModel)):
             raise ValueError(
-                f"nlist={nlist!r} is incompatible with particle batching, "
-                "molecule batching and mapped neighbor lists (it changes "
-                "the nlist form the model sees)")
+                f"nlist={nlist!r} is incompatible with particle batching "
+                "and molecule batching (it changes the nlist form the "
+                "model sees). Mapped neighbor lists ARE supported: the "
+                "model receives particle-order NlistPlanes")
 
         if self.nneighbor_cutoff > 0 and self.r_cut <= 0:
             raise ValueError("Must provide an r_cut if you have "

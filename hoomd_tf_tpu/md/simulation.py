@@ -439,7 +439,16 @@ class Simulation:
         if self._use_cellwise():
             layout = self._ensure_layout()
             slot_state, aux, _ = layout.pack_jit(state, ())
-            return layout.planes(slot_state, aux)
+            planes = layout.planes(slot_state, aux)
+            if self.tfc is not None and self.tfc.map_enabled:
+                # accessors see particle-order rows, like the model
+                from ..ops.direct import NlistPlanes
+                inv = jnp.zeros((layout.n,), jnp.int32) \
+                    .at[aux["orig"]].set(
+                        jnp.arange(layout.plan.n_slots, dtype=jnp.int32),
+                        mode="drop")
+                planes = NlistPlanes(*(c[inv] for c in planes))
+            return planes
         return self._make_nlist_builder()(state)[0]
 
     # ------------------------------------------------------------------
@@ -506,7 +515,37 @@ class Simulation:
         pair_fast = (layout is not None and tfc is not None and
                      not train and isinstance(model, PairModel) and
                      model.output_forces and n_extras == 0 and
-                     not tfc.batch_size)
+                     not tfc.batch_size and not tfc.map_enabled)
+        mapped_slots = (layout is not None and tfc is not None and
+                        tfc.map_enabled)
+        if mapped_slots and train:
+            raise ValueError(
+                "train=True with a mapped neighbor list is not supported "
+                "in the cellwise mode; use nlist='cell' or 'n2'")
+
+        def inv_slots(aux):
+            """[n_real] slot index of each original particle (the inverse
+            of aux['orig']); recomputed per step because repacks permute
+            the slots. One small scatter -- the mapped-model row gathers
+            built on it are contiguous-row gathers (the fast kind)."""
+            n_slots = layout.plan.n_slots
+            return jnp.zeros((layout.n,), jnp.int32).at[aux["orig"]].set(
+                jnp.arange(n_slots, dtype=jnp.int32), mode="drop")
+
+        def mapped_apply_slots(state, aux):
+            """CG mapped-position write-back in slot order (the reference
+            precompute, simmodel.py:289-339): gather the all-atom rows
+            back to original order, run the mapping, scatter the bead
+            positions into their slot rows. Bead rows are virtual -- they
+            are repositioned here each step and never integrated."""
+            inv = inv_slots(aux)
+            aan = tfc.model._map_i
+            pos4_p = state.positions4[inv]
+            bs = box_size(state.box)
+            cg = tfc._map_fxn(pos4_p[:aan], bs)
+            cg3 = jnp.asarray(cg)[:, :3].astype(state.positions.dtype)
+            positions = state.positions.at[inv[aan:]].set(cg3)
+            return dataclasses.replace(state, positions=positions)
         # built-in pair potentials (LJ/WCA) also take the analytic route
         # in cellwise mode -- this speeds both plain built-in runs and
         # the per-step training labels of the online-learning path.
@@ -566,12 +605,55 @@ class Simulation:
             return (pos4.reshape(n_chunks, k, 4),
                     nl.reshape(n_chunks, k, nlist.shape[1], 4), pad)
 
-        def eval_model(mv, state, nlist):
+        def eval_model(mv, state, nlist, aux=None):
             """One model force evaluation (the reference's _finish_update,
-            tf2hoomd branch), optionally chunked over particle batches."""
+            tf2hoomd branch), optionally chunked over particle batches.
+
+            Mapped + cellwise: the model contract is particle-order rows
+            (mapped_nlist slices by row index), so the slot-order planes
+            and positions are gathered into particle order for the call
+            and the returned forces/virial scattered back to slot rows.
+            The gathers are contiguous-row gathers on [rows, C] arrays --
+            the same access pattern the wide-direct mode uses every step.
+            """
             offset = tfc.output_offset
             n = state.n_particles
             dtype = state.positions.dtype
+
+            if mapped_slots:
+                from ..ops.direct import NlistPlanes
+                inv = inv_slots(aux)
+                n_real = layout.n
+                nlist_p = NlistPlanes(*(jax.lax.stop_gradient(c)[inv]
+                                        for c in nlist))
+                pos4_p = state.positions4[inv]
+                out, new_mv = _functional(
+                    model, mv,
+                    lambda: model([nlist_p, pos4_p, state.box],
+                                  training=False))
+                f_p = jnp.zeros((n_real, 4), dtype=dtype)
+                w_p = jnp.zeros((n_real, 3, 3), dtype=dtype)
+                if model.output_forces:
+                    f = out[0]
+                    if f.shape[-1] == 3:
+                        f = jnp.concatenate(
+                            [f, jnp.zeros_like(f[:, :1])], axis=-1)
+                    if f.shape[0] < n_real:
+                        f = jnp.pad(f, ((0, n_real - f.shape[0]), (0, 0)))
+                    f_p = f
+                    if model.virial and len(out) > 1:
+                        w = out[1]
+                        if w.shape[0] < n_real:
+                            w = jnp.pad(
+                                w, ((0, n_real - w.shape[0]),
+                                    (0, 0), (0, 0)))
+                        w_p = w
+                n_slots = layout.plan.n_slots
+                forces4 = jnp.zeros((n_slots, 4), dtype=dtype) \
+                    .at[inv].set(f_p)
+                virial = jnp.zeros((n_slots, 3, 3), dtype=dtype) \
+                    .at[inv].set(w_p)
+                return forces4, virial, tuple(out[offset:]), new_mv
 
             def postprocess(out, rows):
                 forces4 = jnp.zeros((rows, 4), dtype=dtype)
@@ -746,6 +828,10 @@ class Simulation:
                 # ghosts must stay inert through any integrator substep
                 # (stochastic kicks add noise to every row)
                 state = layout.ghost_pin(state, aux)
+                if mapped_slots:
+                    # reposition CG bead rows BEFORE the rebuild check so
+                    # a mapping-induced bead move triggers the repack
+                    state = mapped_apply_slots(state, aux)
                 # carried stale model forces must follow their particles
                 # through the repack permutation
                 perm_in = ((model_forces,) if carry_mf else ()) + \
@@ -796,7 +882,7 @@ class Simulation:
                     if always_eval:
                         f_now, w_now, extras, mv = (
                             fast_eval(mv, state, aux) if pair_fast
-                            else eval_model(mv, state, nlist))
+                            else eval_model(mv, state, nlist, aux))
                     else:
                         recompute = (state.step % period) == 0
 
@@ -804,7 +890,7 @@ class Simulation:
                             mv, mf, mvir = args
                             f, w, ex, new_mv = (
                                 fast_eval(mv, state, aux) if pair_fast
-                                else eval_model(mv, state, nlist))
+                                else eval_model(mv, state, nlist, aux))
                             return (new_mv, f,
                                     w if carry_mvir else mvir, ex)
 
@@ -853,9 +939,14 @@ class Simulation:
             if tfc is not None and tfc.map_enabled:
                 # CG beads are virtual: they exert no direct force and are
                 # repositioned by the mapping each step (reference: only
-                # the aa_group is integrated)
-                keep_rows = (jnp.arange(state.n_particles) <
-                             tfc.model._map_i).astype(net_f.dtype)
+                # the aa_group is integrated). In slot layout the bead
+                # rows are identified by their original index.
+                if layout is not None:
+                    keep_rows = (aux["orig"] <
+                                 tfc.model._map_i).astype(net_f.dtype)
+                else:
+                    keep_rows = (jnp.arange(state.n_particles) <
+                                 tfc.model._map_i).astype(net_f.dtype)
                 net_f = net_f * keep_rows[:, None]
             if layout is not None:
                 # ghost rows carry no force, energy or virial
@@ -929,10 +1020,14 @@ class Simulation:
         sds = jax.ShapeDtypeStruct
         box = sds((3, 3), dt)
         if self._use_cellwise():
-            # the model sees slot-order rows (candidate planes) here
+            # the model sees slot-order rows (candidate planes) here --
+            # except in mapped mode, where the engine gathers them back
+            # to particle order (mapped_nlist slices by row index)
             from ..ops.direct import NlistPlanes
             layout = self._ensure_layout()
             ns, C = layout.plan.n_slots, layout.plan.width
+            if tfc.map_enabled:
+                ns = layout.n
             planes = NlistPlanes(dx=sds((ns, C), dt), dy=sds((ns, C), dt),
                                  dz=sds((ns, C), dt),
                                  type=sds((ns, C), dt))

@@ -222,12 +222,19 @@ class SimModel(Layer):
     # ------------------------------------------------------------------
     def mapped_nlist(self, nlist):
         """Split nlist into (all-atom, mapped) parts after
-        ``tfcompute.enable_mapped_nlist``."""
+        ``tfcompute.enable_mapped_nlist``. Works for the packed
+        ``[N, NN, 4]`` form and the wide-planes
+        :class:`..ops.direct.NlistPlanes` (row-sliced per component)."""
         if not self._map_nlist:
             raise ValueError(
                 "You must call tfcompute.enable_mapped_nlist before using "
                 "mapped_nlist")
-        aa, mapped = nlist[: self._map_i], nlist[self._map_i:]
+        from ..ops.direct import NlistPlanes
+        if isinstance(nlist, NlistPlanes):
+            aa = NlistPlanes(*(c[: self._map_i] for c in nlist))
+            mapped = NlistPlanes(*(c[self._map_i:] for c in nlist))
+        else:
+            aa, mapped = nlist[: self._map_i], nlist[self._map_i:]
         _forces_mod_register(aa, "nlist", 0, self._map_i)
         _forces_mod_register(mapped, "nlist", self._map_i, nlist.shape[0])
         return aa, mapped

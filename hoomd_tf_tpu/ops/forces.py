@@ -143,7 +143,9 @@ class ForceCapture:
         e_replay, vjp_fn = jax.vjp(replay, root)
         grad = vjp_fn(jnp.ones_like(e_replay))[0]
         if row_slice is not None:
-            grad = grad[row_slice[0]:row_slice[1]]
+            # pytree-aware row slicing (the root may be NlistPlanes)
+            grad = jax.tree_util.tree_map(
+                lambda g: g[row_slice[0]:row_slice[1]], grad)
         return grad
 
 
