@@ -303,10 +303,21 @@ class Simulation:
             base = config or Cellwise()
             config = Cellwise(capacity=base.capacity,
                               skin=max(base.skin, 0.15 * tfc.r_cut))
+        # cost-model width: 14 when the Newton half-stencil Pallas kernel
+        # will be the hot loop (single-device TPU, analytic pair route)
+        from ..models.pair import PairModel
+        pallas_eligible = (
+            self.mesh is None and jax.default_backend() == "tpu" and
+            not tfc.train and not tfc.batch_size and
+            not tfc.map_enabled and
+            (isinstance(tfc.model, PairModel) or
+             (self.forces and all(hasattr(f, "pair_energy")
+                                  for f in self.forces))))
         plan = plan_cellwise(
             self.state.n_particles, lengths, tfc.r_cut, config=config,
             positions=np.asarray(self.state.positions), lo=lo,
-            drift_per_step=drift, z_divisor=z_div)
+            drift_per_step=drift, z_divisor=z_div,
+            width_blocks=14 if pallas_eligible else 27)
         if plan is not None and dynamic and \
                 (config is None or config.capacity is None):
             # compression densifies cells; 15% extra slots before the

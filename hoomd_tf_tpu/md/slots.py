@@ -90,6 +90,15 @@ class SlotLayout:
         return f - jnp.floor(f)
 
     # ------------------------------------------------------------------
+    def _take(self, src, has):
+        """``put(vals, default)`` applying the repack as ONE clipped
+        gather + select (see :func:`..ops.cellwise.repack_src`)."""
+        def put(vals, default):
+            sel = has.reshape((-1,) + (1,) * (vals.ndim - 1))
+            return jnp.where(sel, vals[jnp.minimum(src, vals.shape[0] - 1)],
+                             default)
+        return put
+
     def pack(self, state, extra_rows=()):
         """Particle-order ``SimState`` -> (slot-order state, aux, packed
         extras). ``extra_rows`` are ``[n, ...]`` arrays permuted alongside
@@ -99,24 +108,21 @@ class SlotLayout:
         dtype = state.positions.dtype
         lo, lengths = self._geom(state)
         valid_n = jnp.ones((self.n,), dtype=dtype)
-        order, new_slot, kept, overflow = cw.repack_order(
+        src, overflow = cw.repack_src(
             state.positions, valid_n, lo, plan, lengths=lengths)
-
-        def put(vals, base):
-            return base.at[new_slot].set(vals[order], mode="drop")
+        has = src < self.n
+        put = self._take(src, has)
 
         centers = self.centers(dtype, state)
         positions = put(state.positions, centers)
-        velocities = put(state.velocities,
-                         jnp.zeros((n_slots, 3), dtype=dtype))
-        types = put(state.types, jnp.zeros((n_slots,), jnp.int32))
-        masses = put(state.masses, jnp.ones((n_slots,), dtype=dtype))
-        forces = put(state.forces, jnp.zeros((n_slots, 4), dtype=dtype))
-        virial = put(state.virial, jnp.zeros((n_slots, 3, 3), dtype=dtype))
-        valid = jnp.zeros((n_slots,), dtype=dtype).at[new_slot].set(
-            valid_n[order], mode="drop")
-        orig = jnp.full((n_slots,), self.n, jnp.int32).at[new_slot].set(
-            jnp.arange(self.n, dtype=jnp.int32)[order], mode="drop")
+        velocities = put(state.velocities, jnp.zeros((), dtype=dtype))
+        types = put(state.types, jnp.zeros((), jnp.int32))
+        masses = put(state.masses, jnp.ones((), dtype=dtype))
+        forces = put(state.forces, jnp.zeros((), dtype=dtype))
+        virial = put(state.virial, jnp.zeros((), dtype=dtype))
+        valid = has.astype(dtype)
+        orig = jnp.where(has, jnp.minimum(src, self.n), self.n) \
+            .astype(jnp.int32)
         thermostat = dict(state.thermostat or {})
         thermostat["dof"] = jnp.asarray(3 * self.n - 3, dtype=dtype)
         slot_state = dataclasses.replace(
@@ -127,9 +133,7 @@ class SlotLayout:
                "ref": (self._frac(positions, lo, lengths, dtype)
                        if self.dynamic_box else positions),
                "overflow": overflow}
-        packed = tuple(
-            put(e, jnp.zeros((n_slots,) + e.shape[1:], e.dtype))
-            for e in extra_rows)
+        packed = tuple(put(e, jnp.zeros((), e.dtype)) for e in extra_rows)
         return slot_state, aux, packed
 
     # ------------------------------------------------------------------
@@ -191,24 +195,20 @@ class SlotLayout:
         n_slots = plan.n_slots
         dtype = slot_state.positions.dtype
         lo, lengths = self._geom(slot_state)
-        order, new_slot, kept, overflow = cw.repack_order(
+        src, overflow = cw.repack_src(
             slot_state.positions, aux["valid"], lo, plan, lengths=lengths)
-
-        def put(vals, base):
-            return base.at[new_slot].set(vals[order], mode="drop")
+        # only valid rows survive repack_src (ghosts sort to the end and
+        # are dropped), so every sourced row is a real particle
+        has = src < n_slots
+        put = self._take(src, has)
 
         centers = self.centers(dtype, slot_state)
         positions = put(slot_state.positions, centers)
-        velocities = put(slot_state.velocities,
-                         jnp.zeros((n_slots, 3), dtype=dtype))
-        types = put(slot_state.types, jnp.zeros((n_slots,), jnp.int32))
-        masses = put(slot_state.masses, jnp.ones((n_slots,), dtype=dtype))
-        # only valid rows survive repack_order (ghosts sort to the end and
-        # are dropped), so every scattered row is a real particle
-        valid = jnp.zeros((n_slots,), dtype=dtype).at[new_slot].set(
-            aux["valid"][order], mode="drop")
-        orig = jnp.full((n_slots,), self.n, jnp.int32).at[new_slot].set(
-            aux["orig"][order], mode="drop")
+        velocities = put(slot_state.velocities, jnp.zeros((), dtype=dtype))
+        types = put(slot_state.types, jnp.zeros((), jnp.int32))
+        masses = put(slot_state.masses, jnp.ones((), dtype=dtype))
+        valid = has.astype(dtype)
+        orig = put(aux["orig"], jnp.asarray(self.n, jnp.int32))
         new_state = dataclasses.replace(
             slot_state, positions=positions, velocities=velocities,
             types=types, masses=masses)
@@ -216,9 +216,7 @@ class SlotLayout:
                    "ref": (self._frac(positions, lo, lengths, dtype)
                            if self.dynamic_box else positions),
                    "overflow": jnp.logical_or(aux["overflow"], overflow)}
-        packed = tuple(
-            put(e, jnp.zeros((n_slots,) + e.shape[1:], e.dtype))
-            for e in extra_rows)
+        packed = tuple(put(e, jnp.zeros((), e.dtype)) for e in extra_rows)
         return new_state, new_aux, packed
 
     # ------------------------------------------------------------------

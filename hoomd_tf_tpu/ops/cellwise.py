@@ -135,12 +135,13 @@ def _measured_occupancy(positions, lo, lengths, dims):
 
 
 # Measured on TPU v5e (docs/performance.md): one *padded* pair lane
-# costs ~17 ps (analytic forward) to ~25 ps (vjp route), one slot of
-# repack costs ~100 ns (argsort + the permutation scatters). Only the
-# ratio matters -- it trades candidate-plane width against repack
-# frequency.
+# costs ~17-20 ps (analytic forward; the Pallas half-stencil kernel runs
+# ~20 ps/lane on its 14-block width) to ~25 ps (vjp route); one slot of
+# repack costs ~50 ns (argsort + the single-gather permutation,
+# ops/cellwise.repack_src). Only the ratio matters -- it trades
+# candidate-plane width against repack frequency.
 _PAIR_LANE_COST = 17e-12
-_REPACK_SLOT_COST = 100e-9
+_REPACK_SLOT_COST = 50e-9
 
 
 def _pad_to(x, m):
@@ -148,7 +149,8 @@ def _pad_to(x, m):
 
 
 def plan_cellwise(n, box_lengths, r_cut, config=None, positions=None,
-                  lo=None, drift_per_step=None, z_divisor=1):
+                  lo=None, drift_per_step=None, z_divisor=1,
+                  width_blocks=27):
     """Choose ``(grid, capacity)`` minimizing amortized per-step cost.
 
     The fused pair loop costs ``27 * n_cells * capacity**2`` lanes;
@@ -171,6 +173,11 @@ def plan_cellwise(n, box_lengths, r_cut, config=None, positions=None,
         is z-slab-major, so sharding the slot axis over a device mesh is
         a spatial domain decomposition along z; equal shards need
         ``nz % n_devices == 0`` (see md/simulation.py mesh support).
+    :param width_blocks: candidate stencil blocks per row in the consumer
+        that dominates the pair work -- 27 for the full-stencil planes
+        routes, 14 when the Newton half-stencil Pallas kernel is the hot
+        loop (the padded-lane breakpoints differ, which can shift the
+        chosen grid).
     :returns: a :class:`CellwisePlan`, or ``None`` if no valid grid (>= 3
         cells per axis) exists.
     """
@@ -213,12 +220,12 @@ def plan_cellwise(n, box_lengths, r_cut, config=None, positions=None,
             cap = est + 4
         n_cells = int(np.prod(dims))
         skin = min(edges) - r_cut
-        # the hot arrays are [n_cells, cap, 27*cap], tiled (8, 128) on
-        # the last two dims -- the *padded* lane count is what executes.
-        # (A grid whose raw cap*C is smaller can easily be slower: e.g.
-        # cap 26 pads to 32 sublanes, a 23% hidden tax.)
-        cost = (n_cells * _pad_to(cap, 8) * _pad_to(27 * cap, 128) *
-                _PAIR_LANE_COST)
+        # the hot arrays are [n_cells, cap, width_blocks*cap], tiled
+        # (8, 128) on the last two dims -- the *padded* lane count is
+        # what executes. (A grid whose raw cap*C is smaller can easily be
+        # slower: e.g. cap 26 pads to 32 sublanes, a 23% hidden tax.)
+        cost = (n_cells * _pad_to(cap, 8) *
+                _pad_to(width_blocks * cap, 128) * _PAIR_LANE_COST)
         if drift_per_step and drift_per_step > 0:
             interval = max(1.0, (skin * 0.98 / 2.0) / drift_per_step)
             cost += n_cells * cap * _REPACK_SLOT_COST / interval
@@ -607,3 +614,24 @@ def repack_order(positions, valid, lo, plan, lengths=None):
     new_slot = jnp.where(kept, sk * cap + jnp.minimum(rank, cap - 1),
                          n_slots)  # out-of-range -> dropped by the scatter
     return order, new_slot, kept, overflow
+
+
+def repack_src(positions, valid, lo, plan, lengths=None):
+    """Single-permutation form of :func:`repack_order`: the per-SLOT
+    source-row map.
+
+    ``src[i] = j`` means new slot row ``i`` takes old row ``j``;
+    ``src[i] == rows`` marks a ghost slot. Applying the repack is then
+    ONE clipped gather + select per array (``where(has, vals[src],
+    default)``) instead of a gather by ``order`` followed by a scatter
+    by ``new_slot`` -- measured ~2x cheaper at 64k, and the repack is the
+    dominant non-force cost of the cellwise step (ROADMAP).
+
+    :returns: ``(src [n_slots] int32, overflow)``.
+    """
+    order, new_slot, kept, overflow = repack_order(
+        positions, valid, lo, plan, lengths=lengths)
+    rows = positions.shape[0]
+    src = jnp.full((plan.n_slots,), rows, jnp.int32).at[new_slot].set(
+        order.astype(jnp.int32), mode="drop")
+    return src, overflow
