@@ -137,11 +137,11 @@ def _measured_occupancy(positions, lo, lengths, dims):
 # Measured on TPU v5e (docs/performance.md): one *padded* pair lane
 # costs ~17-20 ps (analytic forward; the Pallas half-stencil kernel runs
 # ~20 ps/lane on its 14-block width) to ~25 ps (vjp route); one slot of
-# repack costs ~50 ns (argsort + the single-gather permutation,
-# ops/cellwise.repack_src). Only the ratio matters -- it trades
-# candidate-plane width against repack frequency.
+# repack costs ~11 ns (one sort pass + segmented-scan ranks + the
+# single-gather permutation, ops/cellwise.repack_src). Only the ratio
+# matters -- it trades candidate-plane width against repack frequency.
 _PAIR_LANE_COST = 17e-12
-_REPACK_SLOT_COST = 50e-9
+_REPACK_SLOT_COST = 11e-9
 
 
 def _pad_to(x, m):
@@ -604,10 +604,17 @@ def repack_order(positions, valid, lo, plan, lengths=None):
     rows = positions.shape[0]  # n_slots for a rebuild, n for initial pack
     cell = bin_cells(positions, lo, plan, lengths=lengths)
     key = jnp.where(valid > 0, cell, n_cells)  # ghosts sort to the end
-    order = jnp.argsort(key)
-    sk = key[order]
-    starts = jnp.searchsorted(sk, jnp.arange(n_cells), side="left")
-    rank = jnp.arange(rows) - starts[jnp.minimum(sk, n_cells - 1)]
+    # one sort pass yields both the sorted keys and the permutation
+    sk, order = jax.lax.sort(
+        (key, jnp.arange(rows, dtype=jnp.int32)), num_keys=1)
+    # rank within cell, from the sorted keys alone: position minus the
+    # index where this key's run starts (a segmented max-scan -- cheaper
+    # than a searchsorted over the cell table)
+    idx = jnp.arange(rows, dtype=jnp.int32)
+    seg_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    rank = idx - jax.lax.associative_scan(
+        jnp.maximum, jnp.where(seg_start, idx, 0))
     real = sk < n_cells
     overflow = jnp.any(real & (rank >= cap))
     kept = real & (rank < cap)
