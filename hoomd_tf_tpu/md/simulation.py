@@ -506,6 +506,12 @@ class Simulation:
                    log=False, layout=None, log_period=1):
         """Build the scan body. Static configuration is closed over.
 
+        The returned function carries a ``refresh`` attribute: ``None``,
+        or a jitted one-shot full force evaluation ``carry -> carry``
+        for the slim-step mode (see ``slim`` below), which ``run()``
+        applies once after the scan so ``sim.thermo()`` / force
+        accessors observe exactly what an ungated loop would have left.
+
         :param layout: a :class:`.slots.SlotLayout` when the cellwise
             (slot-resident) neighbor mode is active; the carried state is
             then in slot order with an ``aux`` dict alongside.
@@ -722,9 +728,13 @@ class Simulation:
                 return state.box[0], box_size(state.box)
             return layout.lo, None
 
-        def builtin_forces(state, aux, nlist, subset=None):
+        def builtin_forces(state, aux, nlist, subset=None,
+                           needs_energy=True, want_virial=True):
             """Built-in force sum; analytic route on slot state when
-            every selected force declares pair_energy."""
+            every selected force declares pair_energy. ``needs_energy`` /
+            ``want_virial`` feed the slim-step gating (the returned
+            virial is a zeros array when skipped, keeping cond-branch
+            pytrees congruent)."""
             lst = subset if subset is not None else self.forces
             if (builtin_fast and aux is not None and
                     all(hasattr(f, "pair_energy") for f in lst)):
@@ -745,29 +755,35 @@ class Simulation:
                     fi, wi = _cw.analytic_pair_forces(
                         state.positions, state.types, aux["valid"],
                         layout.plan, geo_lo, su,
-                        needs_virial=True, with_types=True,
+                        needs_virial=want_virial, with_types=True,
                         rcut_matrix=layout.rc_matrix,
-                        stencil=stencil_choice, lengths=geo_len)
+                        stencil=stencil_choice, lengths=geo_len,
+                        needs_energy=needs_energy)
                     f = f + fi
-                    w = w + wi
+                    if want_virial:
+                        w = w + wi
                 return f, w
             return self._builtin_forces(state, nlist, subset=subset)
 
-        def fast_eval(mv, state, aux):
+        def fast_eval(mv, state, aux, needs_energy=True,
+                      want_virial=None):
             """Analytic pair-force evaluation on slot state (the
             PairModel fast path; replaces eval_model + plane build)."""
             dtype = state.positions.dtype
+            if want_virial is None:
+                want_virial = self._step_flags(log)[1]
 
             def run():
                 geo_lo, geo_len = slot_geometry(state)
                 return _cw.analytic_pair_forces(
                     state.positions, state.types, aux["valid"],
                     layout.plan, geo_lo, model.pair_energy_and_slope,
-                    needs_virial=self._step_flags(log)[1],
+                    needs_virial=want_virial,
                     min_r2=model.min_r2,
                     with_types=model.pair_with_types,
                     rcut_matrix=layout.rc_matrix,
-                    stencil=stencil_choice, lengths=geo_len)
+                    stencil=stencil_choice, lengths=geo_len,
+                    needs_energy=needs_energy)
 
             (f4, w), new_mv = _functional(model, mv, run)
             if w is None:
@@ -830,8 +846,23 @@ class Simulation:
 
         always_eval, needs_virial, carry_mf, carry_mvir = \
             self._step_flags(log)
+        # slim-step mode: in the hot (always-eval, no-log, no-train)
+        # loop the analytic kernels drop the per-particle energy -- and
+        # the virial when nothing in the loop consumes it -- on EVERY
+        # step; run() then applies one full evaluation (``refresh``)
+        # after the scan, so post-run observable state is identical to
+        # the ungated form at ~zero amortized cost. (A per-step
+        # last-iteration lax.cond was measured SLOWER than not gating at
+        # all: the cond pins both branches' [N,4]/[N,3,3] outputs as
+        # materialized values and breaks the kernel->integrator fusion.)
+        virial_in_loop = bool(log or
+                              getattr(self.integrator, "needs_virial",
+                                      False) or
+                              (tfc is not None and tfc.model.virial))
+        slim = (not log and not train and always_eval and
+                layout is not None and (pair_fast or builtin_fast))
 
-        def step(carry, _):
+        def step(carry, it):
             (state, aux, mv, opt_state, model_forces, model_virial,
              overflow) = carry
             state = integ.pre_force(state, dt)
@@ -891,9 +922,14 @@ class Simulation:
             if tfc is not None:
                 if not train:
                     if always_eval:
-                        f_now, w_now, extras, mv = (
-                            fast_eval(mv, state, aux) if pair_fast
-                            else eval_model(mv, state, nlist, aux))
+                        if pair_fast and slim:
+                            f_now, w_now, extras, mv = fast_eval(
+                                mv, state, aux, needs_energy=False,
+                                want_virial=virial_in_loop)
+                        else:
+                            f_now, w_now, extras, mv = (
+                                fast_eval(mv, state, aux) if pair_fast
+                                else eval_model(mv, state, nlist, aux))
                     else:
                         recompute = (state.step % period) == 0
 
@@ -913,7 +949,12 @@ class Simulation:
                             jax.lax.cond(recompute, do_eval, keep,
                                          (mv, model_forces, model_virial))
                         f_now, w_now = model_forces, model_virial
-                    f_b, w_b = builtin_forces(state, aux, nlist)
+                    if builtin_fast and slim:
+                        f_b, w_b = builtin_forces(
+                            state, aux, nlist, needs_energy=False,
+                            want_virial=virial_in_loop)
+                    else:
+                        f_b, w_b = builtin_forces(state, aux, nlist)
                     net_f = f_b + f_now
                     net_w = (w_b + w_now) if needs_virial else None
                 else:
@@ -959,13 +1000,16 @@ class Simulation:
                     keep_rows = (jnp.arange(state.n_particles) <
                                  tfc.model._map_i).astype(net_f.dtype)
                 net_f = net_f * keep_rows[:, None]
+            # slim mode leaves the carried virial untouched (stale) in
+            # the loop; refresh() writes the real one once post-scan
+            write_virial = needs_virial and (not slim or virial_in_loop)
             if layout is not None:
                 # ghost rows carry no force, energy or virial
                 valid = aux["valid"]
                 net_f = net_f * valid[:, None]
-                if needs_virial:
+                if write_virial:
                     net_w = net_w * valid[:, None, None]
-            if needs_virial:
+            if write_virial:
                 state = dataclasses.replace(state, forces=net_f,
                                             virial=net_w)
             else:
@@ -1000,6 +1044,44 @@ class Simulation:
             return (state, aux, mv, opt_state, model_forces,
                     model_virial, overflow), ys
 
+        if slim:
+            def refresh(carry):
+                """One full-flag force evaluation at the carry's current
+                positions (identical forces; adds the energy column and,
+                when ``needs_virial``, the virial the slim loop skipped)."""
+                (state, aux, mv, opt_state, model_forces, model_virial,
+                 overflow) = carry
+                need_planes = ((tfc is not None and not pair_fast) or
+                               (bool(self.forces) and not builtin_fast))
+                nlist = layout.planes(state, aux) if need_planes else None
+                if pair_fast:
+                    f_now, w_now, _, mv = fast_eval(
+                        mv, state, aux, needs_energy=True,
+                        want_virial=needs_virial)
+                else:
+                    f_now, w_now, _, mv = eval_model(mv, state, nlist,
+                                                     aux)
+                f_b, w_b = builtin_forces(state, aux, nlist)
+                net_f = f_b + f_now
+                net_w = (w_b + w_now) if needs_virial else None
+                if tfc is not None and tfc.map_enabled:
+                    keep_rows = (aux["orig"] <
+                                 tfc.model._map_i).astype(net_f.dtype)
+                    net_f = net_f * keep_rows[:, None]
+                valid = aux["valid"]
+                net_f = net_f * valid[:, None]
+                if needs_virial:
+                    net_w = net_w * valid[:, None, None]
+                    state = dataclasses.replace(state, forces=net_f,
+                                                virial=net_w)
+                else:
+                    state = dataclasses.replace(state, forces=net_f)
+                return (state, aux, mv, opt_state, model_forces,
+                        model_virial, overflow)
+
+            step.refresh = jax.jit(refresh)
+        else:
+            step.refresh = None
         return step
 
     # ------------------------------------------------------------------
@@ -1127,7 +1209,7 @@ class Simulation:
                 @jax.jit
                 def scan_n(carry):
                     return jax.lax.scan(step, carry, None, length=length)
-                self._scan_cache[cache_key] = scan_n
+                self._scan_cache[cache_key] = (scan_n, step.refresh)
             return self._scan_cache[cache_key]
 
         mv = get_state(tfc.model) if tfc else []
@@ -1169,7 +1251,7 @@ class Simulation:
         seg_start = start_step
         log_entries = []
         for length in segments:
-            carry, ys = scan_for(length)(carry)
+            carry, ys = scan_for(length)[0](carry)
             if log:
                 steps = np.arange(seg_start, seg_start + length)
                 keep = (steps % log_period) == 0
@@ -1181,6 +1263,12 @@ class Simulation:
             if tfc:
                 tfc.collect_outputs(seg_start, length, ys[:2])
             seg_start += length
+        refresh = scan_for(segments[-1])[1]
+        if refresh is not None:
+            # slim-step loops skip the energy column (and sometimes the
+            # virial); one full evaluation at the final positions makes
+            # post-run state bit-identical to an ungated loop
+            carry = refresh(carry)
         state, aux, mv, opt_state, mf, mvir, overflow = carry
         if layout is not None:
             to_unpack = ((mf,) if carry_mf else ()) + \

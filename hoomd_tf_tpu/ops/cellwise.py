@@ -410,7 +410,8 @@ def _relative_coords(positions, valid, plan, lo, offs_list, lengths=None):
 
 def analytic_pair_forces(positions, types, valid, plan, lo, pair_fn,
                          needs_virial=False, min_r2=1e-4, with_types=False,
-                         rcut_matrix=None, stencil="auto", lengths=None):
+                         rcut_matrix=None, stencil="auto", lengths=None,
+                         needs_energy=True):
     """Forces/energy (and optionally virial) for a pair potential on
     slot-resident state, computed *analytically forward-only* -- the fast
     path behind :class:`..models.pair.PairModel`.
@@ -487,6 +488,10 @@ def analytic_pair_forces(positions, types, valid, plan, lo, pair_fn,
         ``'full'`` (27 blocks, both pair sides evaluated independently;
         the fastest pure-XLA form and the one that partitions cleanly
         under a device mesh).
+    :param needs_energy: compute the per-particle energy (force column
+        4). The hot loop passes False on all but logged/final steps --
+        the energy-only lane math (and its dual reduction) is ~10% of
+        the kernel; the column is zero when skipped.
     :returns: ``(forces4 [n_slots, 4], virial or None)`` with
         per-particle energy in force column 4; ghost rows all zero.
     """
@@ -499,7 +504,7 @@ def analytic_pair_forces(positions, types, valid, plan, lo, pair_fn,
             positions, types, valid, plan, lo, pair_fn,
             needs_virial=needs_virial, min_r2=min_r2,
             with_types=with_types, rcut_matrix=rcut_matrix,
-            lengths=lengths,
+            lengths=lengths, needs_energy=needs_energy,
             interpret=jax.default_backend() != "tpu")
     dtype = positions.dtype
     n_cells, cap = plan.n_cells, plan.capacity
@@ -543,7 +548,6 @@ def analytic_pair_forces(positions, types, valid, plan, lo, pair_fn,
     else:
         U, dU = pair_fn(r2_eval)
     zero = jnp.zeros((), dtype=dtype)
-    g = jnp.where(ok, U, zero)          # full pair energy per lane
     s = jnp.where(ok, dU, zero)
     sdx, sdy, sdz = s * dx, s * dy, s * dz
 
@@ -563,7 +567,11 @@ def analytic_pair_forces(positions, types, valid, plan, lo, pair_fn,
     # pairs counted once, half to each side);
     # F_i = -2 * sum_j U'(d2) * (x_i - x_j) = 2 * sum_j U' * d, and the
     # candidate side of a directed pair gets the exact negation
-    e = dual_reduce(g, 0.5, 0.5)
+    if needs_energy:
+        g = jnp.where(ok, U, zero)      # full pair energy per lane
+        e = dual_reduce(g, 0.5, 0.5)
+    else:
+        e = jnp.zeros((plan.n_slots,), dtype=dtype)
     fx = dual_reduce(sdx, 2.0, -2.0)
     fy = dual_reduce(sdy, 2.0, -2.0)
     fz = dual_reduce(sdz, 2.0, -2.0)

@@ -40,7 +40,7 @@ __all__ = ["half_stencil_pair_forces"]
 
 
 def _kernel(pair_fn, with_types, rcut_matrix, cap, n_blocks, rc2, min_r2,
-            needs_virial, *refs):
+            needs_virial, needs_energy, *refs):
     """One grid step: ``B`` cells' rows against their 14-block candidate
     planes; dual reductions accumulate in VMEM/registers."""
     C = n_blocks * cap
@@ -77,7 +77,6 @@ def _kernel(pair_fn, with_types, rcut_matrix, cap, n_blocks, rc2, min_r2,
     else:
         U, dU = pair_fn(r2)
     zero = jnp.zeros((), dtype=d2.dtype)
-    g = jnp.where(ok, U, zero)
     s = jnp.where(ok, dU, zero)
 
     def dual(prod, fwd_c, back_c, out_ref):
@@ -89,24 +88,31 @@ def _kernel(pair_fn, with_types, rcut_matrix, cap, n_blocks, rc2, min_r2,
         out_ref[:, :cap] = fwd
         out_ref[:, cap:] = back[:, cap:]
 
-    dual(g, 0.5, 0.5, out_refs[0])
-    dual(s * dx, 2.0, -2.0, out_refs[1])
-    dual(s * dy, 2.0, -2.0, out_refs[2])
-    dual(s * dz, 2.0, -2.0, out_refs[3])
+    oi = 0
+    if needs_energy:
+        # the energy lanes (U, its mask select, one dual reduction) are
+        # ~10% of the kernel; the hot loop skips them on all but
+        # logged/final steps and the unused U math DCEs away
+        g = jnp.where(ok, U, zero)
+        dual(g, 0.5, 0.5, out_refs[0])
+        oi = 1
+    dual(s * dx, 2.0, -2.0, out_refs[oi + 0])
+    dual(s * dy, 2.0, -2.0, out_refs[oi + 1])
+    dual(s * dz, 2.0, -2.0, out_refs[oi + 2])
     if needs_virial:
-        dual(s * dx * dx, -1.0, -1.0, out_refs[4])
-        dual(s * dy * dy, -1.0, -1.0, out_refs[5])
-        dual(s * dz * dz, -1.0, -1.0, out_refs[6])
-        dual(s * dx * dy, -1.0, -1.0, out_refs[7])
-        dual(s * dx * dz, -1.0, -1.0, out_refs[8])
-        dual(s * dy * dz, -1.0, -1.0, out_refs[9])
+        dual(s * dx * dx, -1.0, -1.0, out_refs[oi + 3])
+        dual(s * dy * dy, -1.0, -1.0, out_refs[oi + 4])
+        dual(s * dz * dz, -1.0, -1.0, out_refs[oi + 5])
+        dual(s * dx * dy, -1.0, -1.0, out_refs[oi + 6])
+        dual(s * dx * dz, -1.0, -1.0, out_refs[oi + 7])
+        dual(s * dy * dz, -1.0, -1.0, out_refs[oi + 8])
 
 
 def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
                              needs_virial=False, min_r2=1e-4,
                              with_types=False, rcut_matrix=None,
                              lengths=None, block_cells=None,
-                             interpret=False):
+                             needs_energy=True, interpret=False):
     """Drop-in equivalent of :func:`.cellwise.analytic_pair_forces`
     computed by the Pallas half-stencil kernel (same contract, same
     returns; see that docstring for the physics and masking rules).
@@ -139,8 +145,9 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
     if block_cells is None:
         # Mosaic needs the leading block dim divisible by 8; scale up in
         # multiples of 8 while the VMEM working set (~8 live [B, cap, C]
-        # intermediates) stays under ~6 MB
-        target = 6 * 1024 * 1024 // (8 * cap * C * 4)
+        # intermediates) stays under ~12 MB (measured at 64k/cap 32:
+        # B=24 runs 7% faster than B=8; B=16 and B=32 are both slower)
+        target = 12 * 1024 * 1024 // (8 * cap * C * 4)
         block_cells = max(8, (target // 8) * 8)
     B = int(block_cells)
     n_pad = -(-n_cells // B) * B
@@ -148,11 +155,11 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
         inputs = [jnp.pad(a, ((0, n_pad - n_cells), (0, 0)), mode="edge")
                   for a in inputs]
 
-    n_out = 10 if needs_virial else 4
+    n_out = (1 if needs_energy else 0) + 3 + (6 if needs_virial else 0)
     rc2 = float(plan.r_cut) ** 2
     kernel = functools.partial(
         _kernel, pair_fn, with_types, rcut_matrix, cap, n_blocks,
-        float(rc2), float(min_r2), needs_virial)
+        float(rc2), float(min_r2), needs_virial, needs_energy)
 
     spec = pl.BlockSpec((B, C), lambda i: (i, 0))
     outs = pl.pallas_call(
@@ -171,11 +178,17 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
                 out[:n_cells, t * cap:(t + 1) * cap], plan, offs_list[t])
         return acc.reshape(-1)
 
-    e, fx, fy, fz = (assemble(o) for o in outs[:4])
+    oi = 0
+    if needs_energy:
+        e = assemble(outs[0])
+        oi = 1
+    else:
+        e = jnp.zeros((plan.n_slots,), dtype=dtype)
+    fx, fy, fz = (assemble(o) for o in outs[oi:oi + 3])
     forces4 = jnp.stack([fx, fy, fz, e], axis=-1) * valid[:, None]
     virial = None
     if needs_virial:
-        wxx, wyy, wzz, wxy, wxz, wyz = (assemble(o) for o in outs[4:])
+        wxx, wyy, wzz, wxy, wxz, wyz = (assemble(o) for o in outs[oi + 3:])
         W = jnp.stack([
             jnp.stack([wxx, wxy, wxz], -1),
             jnp.stack([wxy, wyy, wyz], -1),
