@@ -129,6 +129,13 @@ def main():
         route = "analytic PairModel fast path, Pallas half-stencil Newton"
     elif model_cls is LJ:
         route = "PairModel (generic route off-cellwise)"
+    elif getattr(tfc, "_lane_fast_ok", False):
+        # the lane-separability probe (ops/lane_fast) validated this
+        # generic model onto the analytic kernel
+        route = ("generic SimModel, lane-fast analytic"
+                 + (" (XLA full stencil)"
+                    if getattr(tfc, "_lane_fast_stencil", None) == "full"
+                    else ", Pallas half-stencil Newton"))
     else:
         route = "generic SimModel vjp route"
     print(json.dumps({

@@ -15,6 +15,12 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# this image's sitecustomize force-registers the axon TPU plugin and
+# overrides JAX_PLATFORMS; re-pin programmatically so CPU smoke runs work
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -68,8 +74,13 @@ class TrainableNN(htf.SimModel):
 
 
 def bench_config(n, nn, steps, equil, rounds, nlist_mode=None,
-                 model="simmodel", train=False, label=None):
+                 model="simmodel", train=False, label=None,
+                 lane_fast=True):
     import dataclasses
+    # the lane-separability probe (ops/lane_fast) promotes separable
+    # generic SimModels onto the analytic kernel; lane_fast=False pins
+    # the generic planes+vjp route for the A/B rows below
+    os.environ["HTF_LANE_FAST"] = "1" if lane_fast else "0"
     sim = htf.Simulation(dt=0.005, integrator=htf.md.NVT(kT=1.2, tau=0.5),
                          seed=0)
     sim.init_lattice(n, density=0.4, kT_init=1.2)
@@ -98,7 +109,8 @@ def bench_config(n, nn, steps, equil, rounds, nlist_mode=None,
     result = benchmark_simulation(sim, steps=steps,
                                   equilibration=equil, reps=rounds)
     result.update({"n_particles": n, "nn": nn, "model": model,
-                   "train": train, "nlist_mode": nlist_mode})
+                   "train": train, "nlist_mode": nlist_mode,
+                   "lane_fast": bool(lane_fast)})
     if label:
         result["label"] = label
     return result
@@ -129,16 +141,20 @@ def main():
             dict(n=65536, nn=64, steps=200, equil=200, rounds=3,
                  label="wide-direct, generic SimModel"),
             dict(n=65536, nn=64, steps=500, equil=1000, rounds=3,
-                 nlist_mode="cellwise",
+                 nlist_mode="cellwise", lane_fast=False,
                  label="cellwise, generic SimModel (planes + vjp)"),
+            dict(n=65536, nn=64, steps=500, equil=1000, rounds=3,
+                 nlist_mode="cellwise",
+                 label="cellwise, generic SimModel (lane-fast probe)"),
             dict(n=65536, nn=64, steps=500, equil=1000, rounds=3,
                  nlist_mode="cellwise", model="pair",
                  label="cellwise, PairModel analytic fast path"),
             # online learning: NN potential trained on built-in LJ
             # labels every step (reference example 08 pattern)
-            # (64k training compiles exceed one sitting through the
-            # remote tunnel; 16k exercises the same program shape)
             dict(n=16384, nn=64, steps=100, equil=200, rounds=2,
+                 nlist_mode="cellwise", train=True,
+                 label="online training, NN model, analytic labels"),
+            dict(n=65536, nn=64, steps=100, equil=200, rounds=2,
                  nlist_mode="cellwise", train=True,
                  label="online training, NN model, analytic labels"),
         ]
@@ -159,7 +175,7 @@ def main():
         with open(out) as f:
             prior = json.load(f).get("results", [])
         keyf = lambda r: (r["n_particles"], r.get("nlist_mode"),
-                          r.get("model"), r.get("train"))
+                          r.get("model"), r.get("train"), r.get("label"))
         seen = {keyf(r) for r in results}
         results = [r for r in prior if keyf(r) not in seen] + results
     with open(out, "w") as f:

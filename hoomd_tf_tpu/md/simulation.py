@@ -226,6 +226,63 @@ class Simulation:
         return {k: float(v) for k, v in _thermo.thermo(self.state).items()}
 
     # ------------------------------------------------------------------
+    def _probe_lane_fast(self, layout, n_extras):
+        """Probe a generic :class:`..models.simmodel.SimModel` for
+        lane-separability and cache the verdict on the driver
+        (``tfc._lane_fast_ok``). See :mod:`..ops.lane_fast` for the
+        synthesis + validation scheme. One jitted comparison per attach
+        configuration / plan / model trace-version; disabled with
+        ``HTF_LANE_FAST=0``.
+        """
+        import os as _os
+
+        from ..models.pair import PairModel
+
+        tfc = self.tfc
+        model = tfc.model
+        if (isinstance(model, PairModel) or tfc.train or
+                not model.output_forces or n_extras != 0 or
+                tfc.batch_size or tfc.map_enabled or
+                _os.environ.get("HTF_LANE_FAST", "1") == "0"):
+            tfc._lane_fast_ok = False
+            return
+        key = (tfc.config_key, layout.plan, model._trace_version)
+        cache = getattr(tfc, "_lane_fast_cache", None)
+        if cache is not None and cache[0] == key:
+            tfc._lane_fast_ok = cache[1]
+            return
+
+        from ..ops import cellwise as _cw
+        from ..ops.lane_fast import synthesize_pair_fn, validate_pair_fn
+
+        slot_state, aux, _ = layout.pack_jit(self.state)
+        pair_fn = synthesize_pair_fn(model, slot_state.box)
+        ok = validate_pair_fn(model, pair_fn, slot_state, aux, layout)
+        stencil = None
+        if ok and jax.default_backend() == "tpu" and self.mesh is None:
+            # the synthesized pair_fn runs the user's whole compute
+            # inside the Pallas half-stencil kernel; anything Mosaic
+            # can't express (e.g. the probe's [B,cap,C]->flat shape
+            # cast feeding models that index lanes) falls back to the
+            # XLA full-stencil analytic route. Mosaic rejects such
+            # kernels at COMPILE time, not lowering, so this probe must
+            # compile (cached persistently; one-time cost per config).
+            try:
+                lo, lengths = layout._geom(slot_state)
+                jax.jit(lambda: _cw.analytic_pair_forces(
+                    slot_state.positions, slot_state.types, aux["valid"],
+                    layout.plan, lo, pair_fn, with_types=True,
+                    rcut_matrix=layout.rc_matrix, stencil="pallas",
+                    lengths=lengths)).lower().compile()
+            except Exception:
+                stencil = "full"
+        tfc._lane_fast_ok = ok
+        tfc._lane_fast_stencil = stencil
+        tfc._lane_fast_cache = (key, ok)
+        if ok:
+            self._scan_cache.clear()
+
+    # ------------------------------------------------------------------
     # neighbor list
     # ------------------------------------------------------------------
     def _use_cellwise(self):
@@ -279,6 +336,15 @@ class Simulation:
         self._layout_key = key
         return self._layout
 
+    def _drift_estimate(self):
+        """Typical per-step displacement: dt times the 99th-percentile
+        speed (the max is spiky; one fast particle only risks an
+        occasional late repack, which is detected)."""
+        v = np.asarray(self.state.velocities)
+        vmag = np.sqrt((v * v).sum(-1)) if v.size else np.zeros(1)
+        return (self.dt * float(np.percentile(vmag, 99))
+                if float(vmag.max()) > 0 else None)
+
     def _plan_from_current(self):
         """A fresh cellwise plan from the *current* positions/velocities
         (used by :meth:`_ensure_layout` and the replan hint)."""
@@ -290,12 +356,7 @@ class Simulation:
         method = getattr(tfc, "nlist_method", None)
         config = method if isinstance(method, Cellwise) else None
         # typical per-step drift for the planner's repack-frequency term
-        # (99th-percentile speed: the max is spiky and a single fast
-        # particle only triggers an occasional extra repack)
-        v = np.asarray(self.state.velocities)
-        vmag = np.sqrt((v * v).sum(-1)) if v.size else np.zeros(1)
-        drift = self.dt * float(np.percentile(vmag, 99)) \
-            if float(vmag.max()) > 0 else None
+        drift = self._drift_estimate()
         dynamic = bool(getattr(self.integrator, "changes_box", False))
         if dynamic:
             # barostat headroom: extra minimum skin so ~10% compression
@@ -528,11 +589,27 @@ class Simulation:
         # analytic fast path: pair potentials in the cellwise mode are
         # evaluated forward-only (dU/dr^2 via jvp) -- no vjp replay, no
         # candidate-plane rematerialization (ops/cellwise.
-        # analytic_pair_forces; 1.5x at 64k on v5e)
-        pair_fast = (layout is not None and tfc is not None and
-                     not train and isinstance(model, PairModel) and
-                     model.output_forces and n_extras == 0 and
-                     not tfc.batch_size and not tfc.map_enabled)
+        # analytic_pair_forces; 1.5x at 64k on v5e). Two ways in:
+        # a declared PairModel, or a generic SimModel that the
+        # lane-separability probe validated (ops/lane_fast; the
+        # validated marker lives on the driver, set by run()).
+        fast_route = (layout is not None and tfc is not None and
+                      not train and model is not None and
+                      model.output_forces and n_extras == 0 and
+                      not tfc.batch_size and not tfc.map_enabled)
+        if fast_route and isinstance(model, PairModel):
+            fast_pair_fn = lambda state: model.pair_energy_and_slope
+            fast_with_types = model.pair_with_types
+            fast_min_r2 = model.min_r2
+        elif fast_route and getattr(tfc, "_lane_fast_ok", False):
+            from ..ops.lane_fast import synthesize_pair_fn
+            fast_pair_fn = lambda state: synthesize_pair_fn(
+                model, state.box)
+            fast_with_types = True
+            fast_min_r2 = 1e-4
+        else:
+            fast_pair_fn = None
+        pair_fast = fast_pair_fn is not None
         mapped_slots = (layout is not None and tfc is not None and
                         tfc.map_enabled)
         if mapped_slots and train:
@@ -581,6 +658,11 @@ class Simulation:
             "auto" if self.mesh is None else "full")
         if self.mesh is not None:
             stencil_choice = "full"
+        if pair_fast and not isinstance(model, PairModel):
+            # lane-separable generic model: the probe may have found the
+            # synthesized pair_fn un-lowerable in Mosaic
+            stencil_choice = getattr(tfc, "_lane_fast_stencil", None) \
+                or stencil_choice
 
         def model_inputs(state, nlist, with_labels=False, labels=None):
             # optimization_barrier: without it XLA occasionally fuses the
@@ -772,15 +854,20 @@ class Simulation:
             dtype = state.positions.dtype
             if want_virial is None:
                 want_virial = self._step_flags(log)[1]
+            # parity with eval_model: a model contributes a virial only
+            # when it DECLARES one (reference simmodel.py virial flag;
+            # the barostat/pressure read zeros from forces-only models
+            # on every other route)
+            want_virial = want_virial and model.virial
 
             def run():
                 geo_lo, geo_len = slot_geometry(state)
                 return _cw.analytic_pair_forces(
                     state.positions, state.types, aux["valid"],
-                    layout.plan, geo_lo, model.pair_energy_and_slope,
+                    layout.plan, geo_lo, fast_pair_fn(state),
                     needs_virial=want_virial,
-                    min_r2=model.min_r2,
-                    with_types=model.pair_with_types,
+                    min_r2=fast_min_r2,
+                    with_types=fast_with_types,
                     rcut_matrix=layout.rc_matrix,
                     stencil=stencil_choice, lengths=geo_len,
                     needs_energy=needs_energy)
@@ -875,7 +962,13 @@ class Simulation:
                     # a mapping-induced bead move triggers the repack
                     state = mapped_apply_slots(state, aux)
                 # carried stale model forces must follow their particles
-                # through the repack permutation
+                # through the repack permutation. NOTE a narrower cond
+                # (argsort under the cond, the state gather applied
+                # unconditionally with an identity permutation) was
+                # measured 7x SLOWER at 64k: dynamic row gathers run at
+                # ~1e8 elem/s on TPU, so eight per-step [n_slots] state
+                # gathers cost ~10 ms -- far more than the wide cond's
+                # ~0.15 ms pass-through rewrite (docs/performance.md).
                 perm_in = ((model_forces,) if carry_mf else ()) + \
                     ((model_virial,) if carry_mvir else ())
 
@@ -890,7 +983,7 @@ class Simulation:
                 if carry_mf:
                     model_forces = out[2]
                 if carry_mvir:
-                    model_virial = out[3]
+                    model_virial = out[3 if carry_mf else 2]
                 model_needs_planes = train or not pair_fast
                 builtins_need_planes = bool(self.forces) and \
                     not builtin_fast
@@ -1082,6 +1175,7 @@ class Simulation:
             step.refresh = jax.jit(refresh)
         else:
             step.refresh = None
+
         return step
 
     # ------------------------------------------------------------------
@@ -1184,6 +1278,8 @@ class Simulation:
 
         if layout is not None:
             layout = self._maybe_auto_replan(layout)
+            if tfc is not None:
+                self._probe_lane_fast(layout, n_extras)
 
         block = int(self.scan_block) if self.scan_block else n
         segments = [block] * (n // block)
@@ -1193,7 +1289,8 @@ class Simulation:
         base_key = (n_extras, extras_shapes,
                     tfc.config_key if tfc else None,
                     len(self.forces), log, log_period,
-                    layout.plan if layout else None)
+                    layout.plan if layout else None,
+                    getattr(tfc, "_lane_fast_ok", False))
 
         def scan_for(length):
             cache_key = (length,) + base_key

@@ -39,18 +39,36 @@ from .cellwise import (_HALF_OFFS, _relative_coords, _roll_back)
 __all__ = ["half_stencil_pair_forces"]
 
 
-def _kernel(pair_fn, with_types, rcut_matrix, cap, n_blocks, rc2, min_r2,
-            needs_virial, needs_energy, *refs):
+def _kernel(pair_eval, const_shapes, with_types, rcut_matrix, cap, n_blocks,
+            rc2, min_r2, needs_virial, needs_energy, *refs):
     """One grid step: ``B`` cells' rows against their 14-block candidate
-    planes; dual reductions accumulate in VMEM/registers."""
+    planes; dual reductions accumulate in VMEM/registers.
+
+    ``pair_eval(consts, r2[, ti, tj])`` is the closure-hoisted pair
+    function: every array the user's ``pair_fn`` closed over (built-in
+    epsilon/sigma scalars, NN weights from the lane-separability probe,
+    ...) arrives through ``refs`` instead of being baked into the kernel
+    jaxpr -- Pallas rejects captured array constants outright.
+    """
     C = n_blocks * cap
+    i = 0
+    gx_ref, gy_ref, gz_ref = refs[:3]
+    i = 3
+    gt_ref = None
     if with_types or rcut_matrix is not None:
-        gx_ref, gy_ref, gz_ref, gt_ref = refs[:4]
-        out_refs = refs[4:]
-    else:
-        gx_ref, gy_ref, gz_ref = refs[:3]
-        gt_ref = None
-        out_refs = refs[3:]
+        gt_ref = refs[i]
+        i += 1
+    consts = []
+    for shp in const_shapes:
+        ref = refs[i]
+        i += 1
+        if shp == ():
+            consts.append(ref[0, 0])
+        elif len(shp) == 1:
+            consts.append(ref[:].reshape(shp))
+        else:
+            consts.append(ref[:])
+    out_refs = refs[i:]
 
     gx, gy, gz = gx_ref[:], gy_ref[:], gz_ref[:]          # [B, C]
     # block 0 is the self cell with zero offset: the rows themselves
@@ -69,13 +87,15 @@ def _kernel(pair_fn, with_types, rcut_matrix, cap, n_blocks, rc2, min_r2,
         ti = gt[:, :cap][:, :, None]
         tj = gt[:, None, :]
     if rcut_matrix is not None:
+        # pair_rc2 unrolls the CONCRETE host matrix into python-scalar
+        # mask terms (no array constant reaches the kernel jaxpr)
         from .nlist import pair_rc2
         ok = ok & (d2 <= pair_rc2(ti, tj, rcut_matrix, d2.dtype))
     r2 = jnp.maximum(d2, min_r2)
     if with_types:
-        U, dU = pair_fn(r2, ti, tj)
+        U, dU = pair_eval(consts, r2, ti, tj)
     else:
-        U, dU = pair_fn(r2)
+        U, dU = pair_eval(consts, r2)
     zero = jnp.zeros((), dtype=d2.dtype)
     s = jnp.where(ok, dU, zero)
 
@@ -155,21 +175,46 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
         inputs = [jnp.pad(a, ((0, n_pad - n_cells), (0, 0)), mode="edge")
                   for a in inputs]
 
+    # hoist everything pair_fn closed over (built-in epsilon/sigma, NN
+    # weights from the lane-separability probe, outer-jit tracers) into
+    # explicit kernel operands: Pallas rejects captured array constants,
+    # and tracers must be operands anyway. make_jaxpr splits the closure
+    # into (constvars, eval) for us; the jaxpr is traced at the exact
+    # in-kernel block shapes so eval_jaxpr replays it verbatim.
+    from jax._src import core as _jcore
+    sds = lambda s: jax.ShapeDtypeStruct(s, dtype)
+    pair_args = ([sds((B, cap, C)), sds((B, cap, 1)), sds((B, 1, C))]
+                 if with_types else [sds((B, cap, C))])
+    closed = jax.make_jaxpr(pair_fn)(*pair_args)
+    small = []                  # whole-array-per-grid-step operands
+    const_shapes = []
+    for c in closed.consts:
+        c = jnp.asarray(c)
+        const_shapes.append(c.shape)
+        small.append(c if c.ndim >= 2 else c.reshape(1, max(c.size, 1)))
+
+    def pair_eval(consts, *args):
+        return tuple(_jcore.eval_jaxpr(closed.jaxpr, consts, *args))
+
     n_out = (1 if needs_energy else 0) + 3 + (6 if needs_virial else 0)
     rc2 = float(plan.r_cut) ** 2
     kernel = functools.partial(
-        _kernel, pair_fn, with_types, rcut_matrix, cap, n_blocks,
+        _kernel, pair_eval, const_shapes, with_types,
+        None if rcut_matrix is None else np.asarray(rcut_matrix),
+        cap, n_blocks,
         float(rc2), float(min_r2), needs_virial, needs_energy)
 
     spec = pl.BlockSpec((B, C), lambda i: (i, 0))
+    small_specs = [pl.BlockSpec(s.shape, (lambda i, nd=s.ndim: (0,) * nd))
+                   for s in small]
     outs = pl.pallas_call(
         kernel,
         grid=(n_pad // B,),
-        in_specs=[spec] * len(inputs),
+        in_specs=[spec] * len(inputs) + small_specs,
         out_specs=[spec] * n_out,
         out_shape=[jax.ShapeDtypeStruct((n_pad, C), dtype)] * n_out,
         interpret=interpret,
-    )(*inputs)
+    )(*inputs, *small)
 
     def assemble(out):
         acc = out[:n_cells, :cap]
