@@ -19,6 +19,7 @@ boundary-crossing inventory of SURVEY.md section 3.1 is empty by design.
 """
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,71 @@ from ..ops.box import box_size
 from ..models.module import get_state, set_state
 
 __all__ = ["Simulation"]
+
+
+@jax.tree_util.register_pytree_node_class
+class _Cols:
+    """A per-column (structure-of-arrays) representation of one
+    ``[n, 3]`` / ``[n, 4]`` / ``[n, 3, 3]`` carry array on the scan wire.
+
+    TPU pads the trailing dimension of a ``[n, 3]`` array to the
+    (8, 128) tile, so every scan-carry materialization of such an array
+    moves (and re-lays-out) up to 42x the useful bytes. Carrying the
+    columns as separate ``[n]`` vectors instead -- and stacking them
+    back at the top of the step body, where XLA fuses the stack into the
+    consumers -- measured 0.24 ms/step at 64k (probe: AoS carry 1.72 ms,
+    SoA carry + AoS body 1.48 ms; docs/performance.md round 3).
+    """
+
+    __slots__ = ("cols", "tail")
+
+    def __init__(self, cols, tail):
+        self.cols = tuple(cols)
+        self.tail = tuple(tail)       # original trailing shape
+
+    def tree_flatten(self):
+        return self.cols, self.tail
+
+    @classmethod
+    def tree_unflatten(cls, tail, cols):
+        return cls(cols, tail)
+
+    @classmethod
+    def split(cls, a, n_rows):
+        # rank-3 ([n, 3, 3] virial) stays AoS: in the slim hot loop it is
+        # loop-invariant and XLA aliases it in place, which beats a
+        # split/join round-trip per iteration
+        if (isinstance(a, jax.Array) and a.ndim == 2
+                and a.shape[0] == n_rows and a.shape[1] in (3, 4)
+                and jnp.issubdtype(a.dtype, jnp.floating)):
+            return cls(tuple(a[:, i] for i in range(a.shape[1])),
+                       a.shape[1:])
+        return a
+
+    def join(self):
+        a = jnp.stack(self.cols, axis=-1)
+        return a.reshape((a.shape[0],) + self.tail)
+
+
+def _wire(carry, n_rows):
+    """Carry pytree -> SoA wire form (see :class:`_Cols`)."""
+    return jax.tree_util.tree_map(
+        lambda a: _Cols.split(a, n_rows), carry)
+
+
+def _unwire(carry):
+    """SoA wire form -> standard carry pytree."""
+    return jax.tree_util.tree_map(
+        lambda a: a.join() if isinstance(a, _Cols) else a, carry,
+        is_leaf=lambda a: isinstance(a, _Cols))
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _wire_jit(carry, n_rows):
+    return _wire(carry, n_rows)
+
+
+_unwire_jit = jax.jit(_unwire)
 
 
 class Simulation:
@@ -1292,6 +1358,13 @@ class Simulation:
                     layout.plan if layout else None,
                     getattr(tfc, "_lane_fast_ok", False))
 
+        # the scan carry rides the wire in SoA column form (_Cols): the
+        # step body re-stacks at entry and re-splits at exit, XLA fuses
+        # both into the adjacent math, and the carried [n,3]/[n,4]
+        # arrays never materialize in their padded-trailing-dim layout
+        wire_rows = (layout.plan.n_slots if layout is not None
+                     else self.state.n_particles)
+
         def scan_for(length):
             cache_key = (length,) + base_key
             if cache_key not in self._scan_cache:
@@ -1303,10 +1376,24 @@ class Simulation:
                                        layout=layout,
                                        log_period=log_period or 1)
 
+                def wire_step(c, x):
+                    c2, ys = step(_unwire(c), x)
+                    return _wire(c2, wire_rows), ys
+
                 @jax.jit
                 def scan_n(carry):
-                    return jax.lax.scan(step, carry, None, length=length)
-                self._scan_cache[cache_key] = (scan_n, step.refresh)
+                    return jax.lax.scan(wire_step, carry, None,
+                                        length=length)
+
+                if step.refresh is not None:
+                    base_refresh = step.refresh
+
+                    @jax.jit
+                    def refresh_w(c):
+                        return _wire(base_refresh(_unwire(c)), wire_rows)
+                else:
+                    refresh_w = None
+                self._scan_cache[cache_key] = (scan_n, refresh_w)
             return self._scan_cache[cache_key]
 
         mv = get_state(tfc.model) if tfc else []
@@ -1344,6 +1431,7 @@ class Simulation:
                     (start_state, mf0, mvir0), self.state.n_particles)
         carry = (start_state, aux0, mv, opt_state, mf0, mvir0,
                  jnp.asarray(False))
+        carry = _wire_jit(carry, wire_rows)
         start_step = int(np.asarray(self.state.step))
         seg_start = start_step
         log_entries = []
@@ -1366,7 +1454,8 @@ class Simulation:
             # virial); one full evaluation at the final positions makes
             # post-run state bit-identical to an ungated loop
             carry = refresh(carry)
-        state, aux, mv, opt_state, mf, mvir, overflow = carry
+        state, aux, mv, opt_state, mf, mvir, overflow = \
+            _unwire_jit(carry)
         if layout is not None:
             to_unpack = ((mf,) if carry_mf else ()) + \
                 ((mvir,) if carry_mvir else ())

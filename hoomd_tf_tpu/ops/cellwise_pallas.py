@@ -132,7 +132,8 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
                              needs_virial=False, min_r2=1e-4,
                              with_types=False, rcut_matrix=None,
                              lengths=None, block_cells=None,
-                             needs_energy=True, interpret=False):
+                             needs_energy=True, interpret=False,
+                             lane_dtype=None):
     """Drop-in equivalent of :func:`.cellwise.analytic_pair_forces`
     computed by the Pallas half-stencil kernel (same contract, same
     returns; see that docstring for the physics and masking rules).
@@ -141,10 +142,18 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
         ``~8 * block_cells * cap * 14*cap * 4`` bytes; default sized to
         ~4 MB).
     :param interpret: run the kernel in interpreter mode (CPU tests).
+    :param lane_dtype: optional reduced precision (``jnp.bfloat16``) for
+        the pair lanes: candidate planes are cast on entry, the whole
+        lane computation (displacements, pair function, dual reductions)
+        runs at that precision, and the per-cell sums are cast back.
+        Opt-in only -- bf16 displacement cancellation costs ~1e-2
+        relative force error through an r^-12 core (see
+        docs/performance.md for the measured accuracy/speed tradeoff).
     """
     from jax.experimental import pallas as pl
 
     dtype = positions.dtype
+    out_dtype = dtype if lane_dtype is None else jnp.dtype(lane_dtype)
     n_cells, cap = plan.n_cells, plan.capacity
     offs_list = _HALF_OFFS
     n_blocks = len(offs_list)
@@ -169,11 +178,17 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
         # B=24 runs 7% faster than B=8; B=16 and B=32 are both slower)
         target = 12 * 1024 * 1024 // (8 * cap * C * 4)
         block_cells = max(8, (target // 8) * 8)
+    if lane_dtype is not None and jnp.dtype(lane_dtype).itemsize < 4:
+        # bf16 tiles are (16, 128): the out block's sublane dim (B) must
+        # be a multiple of 16
+        block_cells = max(16, (int(block_cells) // 16) * 16)
     B = int(block_cells)
     n_pad = -(-n_cells // B) * B
     if n_pad != n_cells:
         inputs = [jnp.pad(a, ((0, n_pad - n_cells), (0, 0)), mode="edge")
                   for a in inputs]
+    if lane_dtype is not None:
+        inputs = [a.astype(out_dtype) for a in inputs]
 
     # hoist everything pair_fn closed over (built-in epsilon/sigma, NN
     # weights from the lane-separability probe, outer-jit tracers) into
@@ -182,7 +197,7 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
     # into (constvars, eval) for us; the jaxpr is traced at the exact
     # in-kernel block shapes so eval_jaxpr replays it verbatim.
     from jax._src import core as _jcore
-    sds = lambda s: jax.ShapeDtypeStruct(s, dtype)
+    sds = lambda s: jax.ShapeDtypeStruct(s, out_dtype)
     pair_args = ([sds((B, cap, C)), sds((B, cap, 1)), sds((B, 1, C))]
                  if with_types else [sds((B, cap, C))])
     closed = jax.make_jaxpr(pair_fn)(*pair_args)
@@ -192,6 +207,9 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
         c = jnp.asarray(c)
         const_shapes.append(c.shape)
         small.append(c if c.ndim >= 2 else c.reshape(1, max(c.size, 1)))
+    if lane_dtype is not None:
+        small = [c.astype(out_dtype) if jnp.issubdtype(c.dtype, jnp.floating)
+                 else c for c in small]
 
     def pair_eval(consts, *args):
         return tuple(_jcore.eval_jaxpr(closed.jaxpr, consts, *args))
@@ -212,15 +230,16 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
         grid=(n_pad // B,),
         in_specs=[spec] * len(inputs) + small_specs,
         out_specs=[spec] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((n_pad, C), dtype)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((n_pad, C), out_dtype)] * n_out,
         interpret=interpret,
     )(*inputs, *small)
 
     def assemble(out):
-        acc = out[:n_cells, :cap]
+        acc = out[:n_cells, :cap].astype(dtype)
         for t in range(1, n_blocks):
             acc = acc + _roll_back(
-                out[:n_cells, t * cap:(t + 1) * cap], plan, offs_list[t])
+                out[:n_cells, t * cap:(t + 1) * cap], plan,
+                offs_list[t]).astype(dtype)
         return acc.reshape(-1)
 
     oi = 0
