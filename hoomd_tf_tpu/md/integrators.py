@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..ops.box import box_size
 
-__all__ = ["NVE", "NVT", "NPT", "Langevin", "Brownian"]
+__all__ = ["NVE", "NVT", "NPT", "Langevin", "Brownian", "Minimize"]
 
 
 def _wrap_positions(positions, box):
@@ -79,8 +79,31 @@ class NVT:
             dof = 3 * state.n_particles - 3
         ke2 = jnp.sum(state.masses[:, None] * state.velocities ** 2)
         t_inst = ke2 / dof
+        # overflow guard: a violent start (overlapping pairs -> ~1e29
+        # forces -> ke2 past f32 max) must not LATCH the thermostat.
+        # Unguarded, t_inst = inf makes xi = inf, exp(-inf) zeroes the
+        # velocities every half step, and xi never recovers (inf plus
+        # any finite decrement stays inf) -- the system freezes at T = 0
+        # and silently stops being a fluid. Clamping the measured
+        # temperature keeps xi huge-but-finite: it still damps the
+        # transient at the maximum rate, then relaxes back once the
+        # overlap resolves.
+        t_inst = jnp.where(jnp.isfinite(t_inst), t_inst,
+                           jnp.asarray(1e30, dtype=t_inst.dtype))
         xi = state.thermostat["xi"]
         xi = xi + dt / 2 * (t_inst / self.kT - 1.0) / self.tau ** 2
+        # two-sided recovery scheme around the clamp above: damp at full
+        # strength while the system is hot (cap only where exp() has
+        # long underflowed), then geometrically unwind the unphysical
+        # xi overshoot once T is back within an order of magnitude of
+        # target -- linear Nose-Hoover relaxation from a transient-
+        # inflated xi would take ~xi*tau^2/dt steps (a de-facto
+        # permanent freeze). Healthy runs keep |xi| ~ 1/tau, far below
+        # the unwind threshold, so equilibrium dynamics are untouched.
+        xi = jnp.clip(xi, -50.0 / dt, 50.0 / dt)
+        xi = jnp.where((t_inst < 10.0 * self.kT) &
+                       (jnp.abs(xi) > 10.0 / self.tau),
+                       xi * 0.8, xi)
         v = state.velocities * jnp.exp(-xi * dt / 2)
         th = dict(state.thermostat)
         th["xi"] = xi
@@ -190,6 +213,58 @@ class Langevin:
         import dataclasses
         v = _kick(state, dt / 2)                      # B
         return dataclasses.replace(state, velocities=v)
+
+
+class Minimize:
+    """Displacement-capped steepest-descent quench.
+
+    Each step moves every particle along its force by
+    ``min(alpha * |F|, max_disp)`` and keeps velocities at zero. Immune
+    to the astronomically large clamped-overlap forces of a violent
+    start (random/jittered initial configurations), which break every
+    dynamical integrator: a single overlapping pair produces ~1e27
+    forces, one Verlet kick overflows the kinetic energy, and even a
+    Langevin friction needs thousands of steps to damp it. A few dozen
+    quench steps resolve the overlaps; switch to the production
+    integrator afterwards (``sim.integrator = htf.md.NVT(...)`` -- the
+    engine recompiles the step on an integrator change).
+
+    The energy-minimization role of the reference stack's
+    ``hoomd.md.integrate.mode_minimize_fire``
+    (used to relax initial configurations before TF-coupled runs).
+
+    :param max_disp: displacement cap per step (in distance units).
+    :param alpha: step scale multiplying the force.
+    """
+
+    def __init__(self, max_disp=0.1, alpha=1e-3):
+        self.max_disp = float(max_disp)
+        self.alpha = float(alpha)
+
+    def init(self, state):
+        return {}
+
+    def pre_force(self, state, dt):
+        return state
+
+    def post_force(self, state, dt):
+        import dataclasses
+        f = state.forces[:, :3]
+        f = jnp.where(jnp.isfinite(f), f, 0.0)
+        # overflow-proof normalization: clamped-overlap forces reach
+        # ~1e27, whose SQUARE overflows f32 -- a naive sqrt(sum(f^2))
+        # norm goes inf, and any fallback there effectively uncaps the
+        # step (measured: particles flung to f32-quantized garbage
+        # positions, including exact coincidences). Scale by the max
+        # component first; every intermediate stays finite.
+        m = jnp.max(jnp.abs(f), axis=-1, keepdims=True)
+        dirn = f / jnp.maximum(m, 1e-30)          # components in [-1, 1]
+        norm = jnp.sqrt(jnp.sum(dirn * dirn, axis=-1, keepdims=True))
+        unit = dirn / jnp.maximum(norm, 1e-30)
+        step = jnp.minimum((self.alpha * m) * norm, self.max_disp)
+        x = _wrap_positions(state.positions + unit * step, state.box)
+        return dataclasses.replace(
+            state, positions=x, velocities=jnp.zeros_like(state.velocities))
 
 
 class Brownian:

@@ -126,7 +126,7 @@ class Simulation:
     def __init__(self, dt=0.005, integrator=None, seed=0, mesh=None,
                  shard_axis="d", auto_replan=True):
         self.dt = float(dt)
-        self.integrator = integrator or _integrators.NVE()
+        self._integrator = integrator or _integrators.NVE()
         self.mesh = mesh
         self.shard_axis = shard_axis
         self.seed = seed
@@ -163,6 +163,29 @@ class Simulation:
         self._post_init()
         return self.state
 
+    @property
+    def integrator(self):
+        return self._integrator
+
+    @integrator.setter
+    def integrator(self, integ):
+        """Swapping integrators mid-simulation is supported (e.g. a
+        :class:`.integrators.Minimize` quench before NVT production):
+        the thermostat keys are re-initialized for the new integrator
+        (values of keys both share, like a Nose-Hoover ``xi``, carry
+        over) and the integrator identity in the scan cache key forces
+        a recompile."""
+        self._integrator = integ
+        state = getattr(self, "state", None)
+        if state is not None:
+            fresh = integ.init(state)
+            current = dict(state.thermostat or {})
+            if set(current) != set(fresh):
+                merged = dict(fresh)
+                merged.update({k: current[k] for k in current
+                               if k in fresh})
+                self.state = dataclasses.replace(state, thermostat=merged)
+
     def init_state(self, positions, box, **kwargs):
         kwargs.setdefault("seed", self.seed)
         self.state = init_state(positions, box, **kwargs)
@@ -184,6 +207,20 @@ class Simulation:
             self.state = dataclasses.replace(self.state, thermostat=fresh)
         self._scan_cache.clear()
         self._layout = None
+
+    def thermalize_velocities(self, kT):
+        """Draw fresh Maxwell-Boltzmann velocities at ``kT`` with zero
+        net momentum (the analog of HOOMD's
+        ``state.thermalize_particle_momenta``); use after a
+        :class:`.integrators.Minimize` quench, which zeroes velocities."""
+        state = self.state
+        rng, sub = jax.random.split(state.rng)
+        dtype = state.positions.dtype
+        v = (jax.random.normal(sub, state.velocities.shape, dtype=dtype)
+             * jnp.sqrt(jnp.asarray(kT, dtype) / state.masses)[:, None])
+        v = v - jnp.mean(v, axis=0, keepdims=True)
+        self.state = dataclasses.replace(state, velocities=v, rng=rng)
+        return self.state
 
     # ------------------------------------------------------------------
     def replan(self):
@@ -250,8 +287,19 @@ class Simulation:
         # a fresh plan would size capacity ~ occ + 15% + 3 (ops/cellwise
         # plan margin); only consider replanning when the active
         # capacity is clearly beyond that
+        # a self-heal capacity floor set during a transient (the melt of
+        # a jittered start) must not pin capacity forever -- but the
+        # boundary snapshot UNDERSELLS the running max the plan must
+        # cover (the max over ~100 repack snapshots of 4k cells sits
+        # several sigma above one snapshot's max; resetting on a 15%
+        # dip was measured to thrash overflow-rollback-replan cycles
+        # into the timed run). Only drop the floor when occupancy
+        # indicates a genuinely different phase/density.
+        floor = getattr(self, "_capacity_floor", 0)
+        if floor and floor > int(np.ceil(occ * 1.5)) + 5:
+            self._capacity_floor = 0
         cap = layout.plan.capacity
-        if cap <= 1.25 * (occ + max(3, int(np.ceil(0.15 * occ)))):
+        if cap <= 1.1 * (occ + max(3, int(np.ceil(0.15 * occ)))):
             layout._replan_throttle = min(throttle * 2, 8000)
             return layout
         from ..ops.cellwise import _pad_to
@@ -264,7 +312,7 @@ class Simulation:
                     _pad_to(27 * p.capacity, 128))
 
         cur, new = lanes(layout.plan), lanes(fresh)
-        if cur <= 1.4 * new:
+        if cur <= 1.2 * new:
             layout._replan_throttle = min(throttle * 2, 8000)
             return layout
         if not self.auto_replan:
@@ -351,13 +399,47 @@ class Simulation:
     # ------------------------------------------------------------------
     # neighbor list
     # ------------------------------------------------------------------
+    def _nlist_params(self):
+        """Neighbor-build parameters ``(r_cut, rc_matrix, method, NN)``.
+
+        From the attached driver when one is attached; with no driver,
+        derived from the built-in forces' own cutoffs -- so pure
+        built-in MD (``sim.add_force(htf.md.LennardJones(...));
+        sim.run(...)``) runs with the full neighbor machinery instead of
+        silently computing zero forces. (The reference's host engine is
+        HOOMD, which obviously runs standalone -- SURVEY.md L0.)
+        Returns ``None`` when nothing needs neighbors.
+        """
+        tfc = self.tfc
+        if tfc is not None and tfc.nneighbor_cutoff > 0:
+            return (tfc.r_cut, tfc.r_cut_matrix,
+                    getattr(tfc, "nlist_method", None) or "auto",
+                    max(1, tfc.nneighbor_cutoff))
+        if tfc is not None or not self.forces or self.state is None:
+            return None
+        r = max((float(getattr(f, "r_cut", 0.0) or 0.0)
+                 for f in self.forces), default=0.0)
+        if r <= 0.0:
+            return None
+        n = self.state.n_particles
+        vol = float(np.prod(np.asarray(box_size(self.state.box))))
+        mean_nbrs = 4.19 * r ** 3 * (n / vol)
+        NN = int(min(n - 1, max(8, np.ceil(2.0 * mean_nbrs))))
+        return (r, None, "auto", NN)
+
     def _use_cellwise(self):
         """Slot-resident ('cellwise') mode selected? (ops/cellwise.py)"""
         from ..ops.cellwise import Cellwise
-        tfc = self.tfc
-        if tfc is None or tfc.nneighbor_cutoff <= 0:
+        p = self._nlist_params()
+        if p is None:
             return False
-        method = getattr(tfc, "nlist_method", None)
+        r_cut, _, method, _ = p
+        if self.tfc is None:
+            # built-in-only runs: slot-resident mode whenever the box
+            # can host the grid (>= 3 cells per axis); small boxes fall
+            # through to the dense builder below
+            lengths = np.asarray(box_size(self.state.box))
+            return bool(np.all(lengths // r_cut >= 3))
         return method == "cellwise" or isinstance(method, Cellwise)
 
     def _ensure_layout(self):
@@ -369,7 +451,7 @@ class Simulation:
         every step."""
         from ..ops.cellwise import Cellwise, plan_cellwise
         from .slots import SlotLayout
-        tfc = self.tfc
+        r_cut, rc_matrix, _, _ = self._nlist_params()
         # box-changing integrators (NPT) get a DYNAMIC layout: static
         # grid/capacity, geometry derived from the current box per step
         # (a barostat rescale is affine, so slot assignment is preserved
@@ -378,9 +460,8 @@ class Simulation:
         lengths = np.asarray(box_size(self.state.box))
         lo = np.asarray(self.state.box[0])
         z_div = self.mesh.shape[self.shard_axis] if self.mesh else 1
-        key = (float(tfc.r_cut),
-               tfc.r_cut_matrix.tobytes()
-               if tfc.r_cut_matrix is not None else None,
+        key = (float(r_cut),
+               rc_matrix.tobytes() if rc_matrix is not None else None,
                self.state.n_particles, self.dt, z_div, dynamic,
                # under a barostat the lengths drift between run() calls;
                # the geometry is dynamic anyway, so the plan is keyed on
@@ -394,10 +475,10 @@ class Simulation:
                      if z_div > 1 else "")
             raise ValueError(
                 f"Box {lengths} too small for the cellwise mode at "
-                f"r_cut={tfc.r_cut} (needs >= 3 cells per axis{extra}); "
+                f"r_cut={r_cut} (needs >= 3 cells per axis{extra}); "
                 "use nlist='n2' instead")
         self._layout = SlotLayout(plan, self.state.n_particles, lo,
-                                  rc_matrix=tfc.r_cut_matrix,
+                                  rc_matrix=rc_matrix,
                                   dynamic_box=dynamic)
         self._layout_key = key
         return self._layout
@@ -416,10 +497,10 @@ class Simulation:
         (used by :meth:`_ensure_layout` and the replan hint)."""
         from ..ops.cellwise import Cellwise, plan_cellwise
         tfc = self.tfc
+        r_cut, _, method, _ = self._nlist_params()
         lengths = np.asarray(box_size(self.state.box))
         lo = np.asarray(self.state.box[0])
         z_div = self.mesh.shape[self.shard_axis] if self.mesh else 1
-        method = getattr(tfc, "nlist_method", None)
         config = method if isinstance(method, Cellwise) else None
         # typical per-step drift for the planner's repack-frequency term
         drift = self._drift_estimate()
@@ -429,22 +510,29 @@ class Simulation:
             # keeps a positive Verlet margin before geometry failure
             base = config or Cellwise()
             config = Cellwise(capacity=base.capacity,
-                              skin=max(base.skin, 0.15 * tfc.r_cut))
+                              skin=max(base.skin, 0.15 * r_cut))
         # cost-model width: 14 when the Newton half-stencil Pallas kernel
         # will be the hot loop (single-device TPU, analytic pair route)
         from ..models.pair import PairModel
         pallas_eligible = (
             self.mesh is None and jax.default_backend() == "tpu" and
-            not tfc.train and not tfc.batch_size and
-            not tfc.map_enabled and
-            (isinstance(tfc.model, PairModel) or
+            (tfc is None or (not tfc.train and not tfc.batch_size and
+                             not tfc.map_enabled)) and
+            ((tfc is not None and isinstance(tfc.model, PairModel)) or
              (self.forces and all(hasattr(f, "pair_energy")
                                   for f in self.forces))))
         plan = plan_cellwise(
-            self.state.n_particles, lengths, tfc.r_cut, config=config,
+            self.state.n_particles, lengths, r_cut, config=config,
             positions=np.asarray(self.state.positions), lo=lo,
             drift_per_step=drift, z_divisor=z_div,
             width_blocks=14 if pallas_eligible else 27)
+        # overflow self-healing (run()): a prior capacity overflow sets
+        # a floor that every later plan honors -- occupancy measured at
+        # planning time can undersell the running fluid's fluctuations
+        floor = getattr(self, "_capacity_floor", 0)
+        if plan is not None and plan.capacity < floor:
+            import dataclasses as _dc
+            plan = _dc.replace(plan, capacity=floor)
         if plan is not None and dynamic and \
                 (config is None or config.capacity is None):
             # compression densifies cells; 15% extra slots before the
@@ -461,12 +549,15 @@ class Simulation:
         use the dense O(N^2) build."""
         from ..ops import cell_list as _cl
 
-        tfc = self.tfc
-        r_cut, NN = tfc.r_cut, max(1, tfc.nneighbor_cutoff)
-        rc_matrix = tfc.r_cut_matrix  # per-type-pair cutoffs (or None);
-        # covers the mapped AA<->CG exclusion uniformly on every path
-        # (reference rcut() matrix, tensorflowcompute.py:284-305)
-        method = getattr(tfc, "nlist_method", None) or "auto"
+        params = self._nlist_params()
+        if params is None:
+            raise RuntimeError(
+                "No neighbor configuration: attach a model with r_cut, "
+                "or add built-in forces that declare their own r_cut")
+        # per-type-pair rc_matrix covers the mapped AA<->CG exclusion
+        # uniformly on every path (reference rcut() matrix,
+        # tensorflowcompute.py:284-305)
+        r_cut, rc_matrix, method, NN = params
         lengths = np.asarray(box_size(self.state.box))
         n = self.state.n_particles
         if getattr(self.integrator, "changes_box", False) and \
@@ -1066,7 +1157,7 @@ class Simulation:
                 # simmodel.py:289-339) happens before the nlist build
                 if tfc is not None and tfc.map_enabled:
                     state = tfc.apply_mapping(state)
-                if tfc is not None and tfc.nneighbor_cutoff > 0:
+                if nlist_builder is not None:
                     nlist, cell_overflow = nlist_builder(state)
                 else:
                     nlist = jnp.zeros(
@@ -1213,7 +1304,11 @@ class Simulation:
                 need_planes = ((tfc is not None and not pair_fast) or
                                (bool(self.forces) and not builtin_fast))
                 nlist = layout.planes(state, aux) if need_planes else None
-                if pair_fast:
+                if tfc is None:
+                    dtype = state.positions.dtype
+                    f_now = jnp.zeros((state.n_particles, 4), dtype)
+                    w_now = jnp.zeros((state.n_particles, 3, 3), dtype)
+                elif pair_fast:
                     f_now, w_now, _, mv = fast_eval(
                         mv, state, aux, needs_energy=True,
                         want_virial=needs_virial)
@@ -1327,6 +1422,15 @@ class Simulation:
         is reused across different ``n`` and host/device buffers for
         logging stay bounded by ``scan_block`` instead of ``n``.
 
+        Self-healing capacity (HOOMD's cell list resizes itself on
+        overflow): if a cellwise run overflows its planned per-cell
+        capacity (e.g. the melt of a jittered start packs cells harder
+        than the planning-time configuration), the run is rolled back to
+        its starting state, the plan is rebuilt with a larger capacity
+        floor, and the segment re-runs -- nothing of the overflowing
+        attempt (state, logs, outputs) is committed. Disable with
+        ``auto_replan=False`` to get the hard error instead.
+
         :param log_period: if set, record thermodynamic quantities every
             this many steps into ``self.log`` (dict of numpy arrays, the
             analog of the reference's hoomd ``analyze.log`` integration).
@@ -1337,6 +1441,13 @@ class Simulation:
         n = int(n)
         if n <= 0:
             return
+        for attempt in range(3):
+            if self._run_once(n, log_period, allow_retry=attempt < 2):
+                return
+
+    def _run_once(self, n, log_period, allow_retry=False):
+        """One attempt at :meth:`run`; returns False to request a
+        retry after a capacity-overflow rollback."""
         tfc = self.tfc
         n_extras, extras_shapes = self._warmup() if tfc else (0, ())
         log = log_period is not None
@@ -1352,11 +1463,18 @@ class Simulation:
         if n % block:
             segments.append(n % block)
 
+        # integrator identity is part of the cache key: swapping
+        # sim.integrator (e.g. Minimize quench -> NVT production) must
+        # recompile the step, not reuse the old integrator's scan
+        integ_key = (type(self.integrator).__name__,
+                     tuple(sorted((k, v) for k, v in
+                           vars(self.integrator).items()
+                           if isinstance(v, (int, float, bool, str)))))
         base_key = (n_extras, extras_shapes,
                     tfc.config_key if tfc else None,
                     len(self.forces), log, log_period,
                     layout.plan if layout else None,
-                    getattr(tfc, "_lane_fast_ok", False))
+                    getattr(tfc, "_lane_fast_ok", False), integ_key)
 
         # the scan carry rides the wire in SoA column form (_Cols): the
         # step body re-stacks at entry and re-splits at exit, XLA fuses
@@ -1369,8 +1487,9 @@ class Simulation:
             cache_key = (length,) + base_key
             if cache_key not in self._scan_cache:
                 nlist_builder = (self._make_nlist_builder()
-                                 if (tfc and tfc.nneighbor_cutoff > 0 and
-                                     layout is None) else None)
+                                 if (layout is None and
+                                     self._nlist_params() is not None)
+                                 else None)
                 step = self._make_step(n_extras, extras_shapes,
                                        nlist_builder, log=log,
                                        layout=layout,
@@ -1435,6 +1554,7 @@ class Simulation:
         start_step = int(np.asarray(self.state.step))
         seg_start = start_step
         log_entries = []
+        collect_buf = []
         for length in segments:
             carry, ys = scan_for(length)[0](carry)
             if log:
@@ -1446,7 +1566,7 @@ class Simulation:
                     entry["step"] = steps[keep]
                     log_entries.append(entry)
             if tfc:
-                tfc.collect_outputs(seg_start, length, ys[:2])
+                collect_buf.append((seg_start, length, ys[:2]))
             seg_start += length
         refresh = scan_for(segments[-1])[1]
         if refresh is not None:
@@ -1456,6 +1576,28 @@ class Simulation:
             carry = refresh(carry)
         state, aux, mv, opt_state, mf, mvir, overflow = \
             _unwire_jit(carry)
+        overflow_now = bool(np.asarray(overflow))
+        if overflow_now and allow_retry and self.auto_replan and \
+                layout is not None and not layout.dynamic_box:
+            # roll back and self-heal (HOOMD's cell list resizes itself
+            # on overflow): nothing from this attempt is committed --
+            # self.state still holds the attempt's starting state -- and
+            # the next attempt replans with a larger capacity floor
+            import warnings
+            # growth: 1.3x the failed capacity, but at least what the
+            # rollback state's occupancy measures right now (an absurdly
+            # undersized explicit capacity converges in one retry)
+            floor = max(
+                int(np.ceil(layout.plan.capacity * 1.3)) + 1,
+                int(np.ceil(self._max_occupancy_now(layout) * 1.15)) + 3)
+            self._capacity_floor = max(
+                getattr(self, "_capacity_floor", 0), floor)
+            self._layout = None
+            warnings.warn(
+                f"cell capacity {layout.plan.capacity} exceeded; "
+                f"replanning with capacity >= {floor} and re-running "
+                f"these {sum(segments)} steps from their start")
+            return False
         if layout is not None:
             to_unpack = ((mf,) if carry_mf else ()) + \
                 ((mvir,) if carry_mvir else ())
@@ -1473,7 +1615,9 @@ class Simulation:
             else:
                 self.log = {k: np.concatenate([self.log[k], entry[k]])
                             for k in entry}
-        if bool(np.asarray(overflow)):
+        for args in collect_buf:
+            tfc.collect_outputs(*args)
+        if overflow_now:
             raise ValueError(
                 "Cell capacity exceeded during the run (a cell held "
                 "more particles than planned, or -- under a barostat -- "
@@ -1487,6 +1631,7 @@ class Simulation:
             if tfc.train:
                 tfc.opt_state = opt_state
             tfc.check_overflow()
+        return True
 
 
 def _functional(model, values, fn):

@@ -201,15 +201,21 @@ def plan_cellwise(n, box_lengths, r_cut, config=None, positions=None,
             continue
         n_cells_d = float(np.prod(dims))
         mean = n / n_cells_d
-        # equilibrium occupancy fluctuations: the max over n_cells cells of
-        # a (sub-Poisson -- repulsive cores give S(0) < 1, ~0.6 is a safe
-        # factor for dense liquids) count sits near
-        # mean + sqrt(2 ln n_cells) * sqrt(0.6 * mean). Structured initial
-        # conditions (lattices) can exceed the statistical estimate, so the
-        # measured t=0 max is a floor. Overflow is still detected at every
-        # repack and surfaced as an error.
-        c = math.sqrt(2.0 * math.log(max(n_cells_d, 2.0)))
-        est = int(math.ceil(mean + c * math.sqrt(0.6 * max(mean, 1.0))))
+        # equilibrium occupancy fluctuations: capacity must cover the
+        # RUNNING max over a whole run, i.e. the max over roughly
+        # n_cells * n_repacks (~100 per 1000 steps) effectively
+        # independent counts -- not one snapshot's max. A plan sized to
+        # the snapshot (mean + sqrt(2 ln n_cells) * sqrt(0.6 mean), the
+        # round-2 formula) measured ~5 overflow events per 1000 steps
+        # at 64k on a live kT=1.2 fluid; the time-horizon factor and a
+        # near-Poisson variance (0.9 -- the sub-Poisson 0.6 of dense
+        # liquids is optimistic at moderate density) cover it.
+        # Structured initial conditions (lattices) can exceed the
+        # statistical estimate, so the measured t=0 max is a floor.
+        # Overflow is still detected at every repack, and run() rolls
+        # back and replans with a raised floor when it fires.
+        c = math.sqrt(2.0 * math.log(max(n_cells_d, 2.0) * 100.0))
+        est = int(math.ceil(mean + c * math.sqrt(0.9 * max(mean, 1.0))))
         if config.capacity is not None:
             cap = int(config.capacity)
         elif positions is not None:

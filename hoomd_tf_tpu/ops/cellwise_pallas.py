@@ -167,16 +167,24 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
         from .cellwise import _roll_offs
         inputs.append(_roll_offs(types.astype(dtype), plan, offs_list))
 
+    n_out = (1 if needs_energy else 0) + 3 + (6 if needs_virial else 0)
     # grid blocking: pad n_cells to a multiple of the block size. Padded
     # rows replicate row 0's candidates; their outputs are garbage but
     # they are sliced off before the roll-back (and they never write
     # anywhere else: back sums stay within their own row block).
     if block_cells is None:
         # Mosaic needs the leading block dim divisible by 8; scale up in
-        # multiples of 8 while the VMEM working set (~8 live [B, cap, C]
-        # intermediates) stays under ~12 MB (measured at 64k/cap 32:
-        # B=24 runs 7% faster than B=8; B=16 and B=32 are both slower)
-        target = 12 * 1024 * 1024 // (8 * cap * C * 4)
+        # multiples of 8 while the VMEM working set stays under ~14 MB of
+        # the 16 MB scoped limit. The cost model uses the TILE-PADDED
+        # dims (cap pads to 8 sublanes, the lane dim to 128 -- at cap 13
+        # the padding is 1.7x and the unpadded estimate OOMs Mosaic's
+        # stack allocator) and ~5 + n_out live [B, cap, C] arrays (the
+        # virial variant holds 10 output accumulations live). Measured
+        # at 64k/cap 32 slim (n_out=3): B=24 runs 7% faster than B=8;
+        # B=16 and B=32 are both slower.
+        pad8 = -(-cap // 8) * 8
+        pad128 = -(-C // 128) * 128
+        target = 14 * 1024 * 1024 // ((5 + n_out) * pad8 * pad128 * 4)
         block_cells = max(8, (target // 8) * 8)
     if lane_dtype is not None and jnp.dtype(lane_dtype).itemsize < 4:
         # bf16 tiles are (16, 128): the out block's sublane dim (B) must
@@ -214,7 +222,6 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
     def pair_eval(consts, *args):
         return tuple(_jcore.eval_jaxpr(closed.jaxpr, consts, *args))
 
-    n_out = (1 if needs_energy else 0) + 3 + (6 if needs_virial else 0)
     rc2 = float(plan.r_cut) ** 2
     kernel = functools.partial(
         _kernel, pair_eval, const_shapes, with_types,

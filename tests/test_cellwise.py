@@ -329,8 +329,12 @@ class TestSimulationParity:
                                        err_msg=k)
 
     def test_overflow_raises(self):
+        # with auto_replan off the overflow is a hard error; with it on
+        # (the default) run() self-heals -- see
+        # test_md.py::TestViolentStarts::test_capacity_overflow_self_heals
         n = 256
         sim = fluid_sim(n=n)
+        sim.auto_replan = False
         tfc = htf.tfcompute(LJ(48))
         tfc.attach(sim, r_cut=2.5, nlist=htf.Cellwise(capacity=1))
         with pytest.raises(ValueError, match="capacity"):

@@ -550,3 +550,122 @@ class TestNPT:
         tfc.attach(sim, r_cut=2.5)  # auto
         sim.run(5)
         assert np.all(np.isfinite(np.asarray(sim.state.positions)))
+
+
+class TestViolentStarts:
+    """Robustness to overlapping initial configurations: the clamped
+    overlap forces (~1e27 at the min_r2 floor) overflow a f32 kinetic
+    energy, which used to latch the Nose-Hoover thermostat at T~0
+    permanently (inf xi never relaxes). Round-3 regression suite."""
+
+    def _overlapped_sim(self, integrator, n=64, seed=3):
+        sim = htf.Simulation(dt=0.005, integrator=integrator, seed=seed)
+        sim.init_lattice(n, density=0.4, kT_init=1.2)
+        # put two particles deep inside each other's core (r = 0.087:
+        # ~1e19 LJ force; note distances below ~2e-3 fall under
+        # nlist_rinv's reference-parity "dark magic" delta floor, where
+        # gradients are deliberately masked -- not a physical regime)
+        pos = np.asarray(sim.state.positions).copy()
+        pos[1] = pos[0] + 0.05
+        sim.state = dataclasses.replace(
+            sim.state, positions=jnp.asarray(pos))
+        sim.add_force(htf.md.LennardJones(r_cut=2.5))
+        return sim
+
+    def test_nvt_does_not_latch_at_zero_temperature(self):
+        sim = self._overlapped_sim(htf.md.NVT(kT=1.2, tau=0.5))
+        sim.run(2500)
+        th = sim.thermo()
+        xi = float(np.asarray(sim.state.thermostat["xi"]))
+        assert np.isfinite(xi)
+        # the thermostat must recover (the recoverable-xi cap bounds the
+        # latch to ~1000 steps): T moving back toward target, not frozen
+        assert 0.1 < th["temperature"] < 6.0, th
+
+    def test_minimize_quench_resolves_overlap(self):
+        sim = self._overlapped_sim(htf.md.Minimize(max_disp=0.05))
+        e0 = sim.thermo()["potential_energy"]
+        sim.run(60)
+        th = sim.thermo()
+        assert np.isfinite(th["potential_energy"])
+        assert th["potential_energy"] < e0
+        # velocities are held at zero through the quench
+        assert float(np.abs(np.asarray(sim.state.velocities)).max()) == 0.0
+        # overlap resolved: the clamped-pair energy scale (~1e24) is gone
+        assert th["potential_energy"] < 1e6
+
+    def test_quench_then_nvt_production(self):
+        """The documented violent-start protocol: Minimize -> thermalize
+        -> NVT. The integrator swap must recompile the step (cache key)
+        and re-init the thermostat keys."""
+        sim = self._overlapped_sim(htf.md.Minimize(max_disp=0.05))
+        sim.run(60)
+        sim.thermalize_velocities(1.2)
+        assert "xi" not in (sim.state.thermostat or {})
+        sim.integrator = htf.md.NVT(kT=1.2, tau=0.5)
+        assert "xi" in sim.state.thermostat
+        sim.run(300)
+        th = sim.thermo()
+        assert 0.5 < th["temperature"] < 2.5, th
+
+    def test_thermalize_velocities_statistics(self):
+        sim = htf.Simulation(dt=0.005, seed=11)
+        sim.init_lattice(512, density=0.4, kT_init=0.0)
+        sim.thermalize_velocities(1.3)
+        v = np.asarray(sim.state.velocities)
+        # zero net momentum, kT from equipartition (3N dof here)
+        np.testing.assert_allclose(v.mean(axis=0), 0.0, atol=1e-6)
+        kT = float((v ** 2).mean())
+        assert abs(kT - 1.3) < 0.15
+
+    def test_integrator_swap_changes_dynamics(self):
+        """Same sim object, NVE -> Langevin swap: the recompiled step
+        must actually run the new integrator (stochastic kicks appear)."""
+        sim = htf.Simulation(dt=0.005, integrator=htf.md.NVE(), seed=5)
+        sim.init_lattice(64, density=0.3, kT_init=0.0)
+        sim.add_force(htf.md.WCA())
+        sim.run(5)
+        assert float(np.abs(np.asarray(sim.state.velocities)).max()) < 1e-3
+        sim.integrator = htf.md.Langevin(kT=1.0, gamma=1.0)
+        sim.run(5)
+        assert float(np.abs(np.asarray(sim.state.velocities)).max()) > 1e-3
+
+    def test_capacity_overflow_self_heals(self):
+        """HOOMD's cell list resizes itself on overflow; the cellwise
+        engine rolls back the run, replans with a larger capacity
+        floor, and re-runs -- instead of raising -- when auto_replan
+        is on (the default)."""
+        class PairLJ(htf.PairModel):
+            def pair_energy(self, r2):
+                u = 1.0 / r2
+                sr6 = u * u * u
+                return 4.0 * (sr6 * sr6 - sr6)
+
+        from hoomd_tf_tpu.ops.cellwise import Cellwise
+        sim = htf.Simulation(dt=0.005,
+                             integrator=htf.md.NVT(kT=1.2, tau=0.5),
+                             seed=4)
+        sim.init_lattice(512, density=0.4, kT_init=1.2)
+        tfc = htf.tfcompute(PairLJ(32))
+        # absurdly undersized explicit capacity: must overflow
+        tfc.attach(sim, r_cut=2.5, nlist=Cellwise(capacity=2))
+        with pytest.warns(UserWarning, match="capacity 2 exceeded"):
+            sim.run(20)
+        assert sim._layout.plan.capacity > 2
+        assert int(np.asarray(sim.state.step)) == 20
+        assert np.all(np.isfinite(np.asarray(sim.state.positions)))
+
+    def test_builtin_only_md_runs(self):
+        """Pure built-in MD without any attached model: the engine
+        derives the neighbor config from the forces' own cutoffs
+        (previously: silent zero forces)."""
+        sim = htf.Simulation(dt=0.005,
+                             integrator=htf.md.NVT(kT=1.0, tau=0.5),
+                             seed=7)
+        sim.init_lattice(256, density=0.4, kT_init=1.0)
+        sim.add_force(htf.md.LennardJones(r_cut=2.5))
+        sim.run(50)
+        th = sim.thermo()
+        assert th["potential_energy"] < -10.0      # real LJ cohesion
+        f = np.asarray(sim.state.forces)
+        assert np.abs(f[:, :3]).max() > 0.1
