@@ -97,22 +97,32 @@ def run_config(n, steps, equil, rounds):
     # live MD; attaching after equilibration keeps the Adam state clear
     # of the melt transient)
     model = TrainableNN(64)
-    model.compile(optimizer="adam", loss="mse", learning_rate=1e-4)
+    # lr sized to the measured budget (~600-900 online steps): at 1e-4
+    # the NN barely moves and the recorded before/after losses are pure
+    # configuration-fluctuation noise (a run can even LOOK like a
+    # regression); 1e-3 converges visibly within the window and is what
+    # reference example 08 uses for its short demonstration runs
+    model.compile(optimizer="adam", loss="mse", learning_rate=1e-3)
     tfc = htf.tfcompute(model)
     tfc.attach(sim, r_cut=3.0, nlist="cellwise", train=True)
     sim.run(max(equil // 4, 10))          # warm/compile the train scan
     jax.block_until_ready(sim.state.positions)
 
-    loss0 = float(np.mean(sim.tfc.loss_history[-8:])) \
-        if len(getattr(sim.tfc, "loss_history", [])) else None
+    # the instantaneous force-matching loss rides the density
+    # fluctuations of the live fluid; windowed means (50 steps) measure
+    # the training trend instead of two noisy samples
+    hist = sim.tfc.loss_history
+    n0 = len(hist)
     times = []
     for _ in range(rounds):
         t0 = time.perf_counter()
         sim.run(steps)
         jax.block_until_ready(sim.state.positions)
         times.append(time.perf_counter() - t0)
-    loss1 = float(np.mean(sim.tfc.loss_history[-8:])) \
-        if len(getattr(sim.tfc, "loss_history", [])) else None
+    hist = sim.tfc.loss_history
+    w = min(50, max((len(hist) - n0) // 4, 1))
+    loss0 = float(np.mean(hist[n0:n0 + w])) if len(hist) > n0 else None
+    loss1 = float(np.mean(hist[-w:])) if len(hist) > n0 else None
     best = min(times)
     return {
         "n_particles": n, "nn": 64, "train": True,

@@ -239,6 +239,8 @@ class Simulation:
         self._layout = None
         self._layout_key = None
         self._scan_cache.clear()
+        self._static_K_cap = None   # staleness cap was per-plan (skin)
+        self._static_K_last = None  # hysteresis anchor likewise
         self._replan_check_step = int(np.asarray(self.state.step)) \
             if self.state is not None else -1
         if self.tfc is not None:
@@ -272,9 +274,12 @@ class Simulation:
         with capacity^2, so a stale cold-start plan quietly costs
         1.5-2x), re-plan automatically -- like HOOMD's self-resizing
         cell list. With ``auto_replan=False`` only a warning is emitted.
-        The staleness check is a cheap device-side occupancy reduction,
-        throttled with exponential backoff (500 steps doubling to 8000)
-        while the plan keeps measuring tight."""
+        The occupancy comes FREE from the scan carry's running max
+        (``_occ_hist``) when available -- the device-probe fallback
+        costs ~0.3 s per call through a remote-TPU tunnel, which was
+        measured as the dominant fixed cost of every run() call -- and
+        the check is throttled with exponential backoff (500 steps
+        doubling to 8000) while the plan keeps measuring tight."""
         step = int(np.asarray(self.state.step))
         if step < 100:
             return layout  # too early to judge (still equilibrating)
@@ -283,7 +288,11 @@ class Simulation:
                 step - self._replan_check_step < throttle:
             return layout
         self._replan_check_step = step
-        occ = self._max_occupancy_now(layout)
+        hist = [h for h in getattr(self, "_occ_hist", [])
+                if h[0][0] == layout.plan.grid]
+        occ = (max(h[1] for h in hist) if hist
+               else self._max_occupancy_now(layout))
+        have_hist = bool(hist)
         # a fresh plan would size capacity ~ occ + 15% + 3 (ops/cellwise
         # plan margin); only consider replanning when the active
         # capacity is clearly beyond that
@@ -299,17 +308,25 @@ class Simulation:
         if floor and floor > int(np.ceil(occ * 1.5)) + 5:
             self._capacity_floor = 0
         cap = layout.plan.capacity
-        if cap <= 1.1 * (occ + max(3, int(np.ceil(0.15 * occ)))):
+        # with no measured history, a fresh plan costs a host position
+        # pull -- gate it behind the capacity heuristic. WITH history,
+        # planning is host-side arithmetic (the calibrated estimate
+        # replaces the snapshot), and capacity alone cannot judge the
+        # plan: the honest-fluid running max can make the CURRENT grid
+        # look tight while a coarser grid is a full padded tile cheaper.
+        if not have_hist and \
+                cap <= 1.1 * (occ + max(3, int(np.ceil(0.15 * occ)))):
             layout._replan_throttle = min(throttle * 2, 8000)
             return layout
         from ..ops.cellwise import _pad_to
         fresh = self._plan_from_current()
         if fresh is None:
             return layout
+        wb = 14 if self._pallas_eligible() else 27
 
         def lanes(p):
             return (p.n_cells * _pad_to(p.capacity, 8) *
-                    _pad_to(27 * p.capacity, 128))
+                    _pad_to(wb * p.capacity, 128))
 
         cur, new = lanes(layout.plan), lanes(fresh)
         if cur <= 1.2 * new:
@@ -483,14 +500,85 @@ class Simulation:
         self._layout_key = key
         return self._layout
 
+    def _vmax_now(self):
+        """Max particle speed, computed ON DEVICE with one scalar
+        readback: shipping the whole velocity array to the host costs
+        ~0.3 s per call through a remote-TPU tunnel (same lesson as
+        ``_max_occupancy_now``), and this runs at every run() start."""
+        fn = getattr(self, "_vmax_fn", None)
+        if fn is None:
+            @jax.jit
+            def fn(v):
+                return jnp.sqrt(jnp.max(jnp.sum(v * v, axis=-1)))
+            self._vmax_fn = fn
+        if self.state.velocities.size == 0:
+            return 0.0
+        return float(np.asarray(fn(self.state.velocities)))
+
     def _drift_estimate(self):
-        """Typical per-step displacement: dt times the 99th-percentile
-        speed (the max is spiky; one fast particle only risks an
-        occasional late repack, which is detected)."""
-        v = np.asarray(self.state.velocities)
-        vmag = np.sqrt((v * v).sum(-1)) if v.size else np.zeros(1)
-        return (self.dt * float(np.percentile(vmag, 99))
-                if float(vmag.max()) > 0 else None)
+        """Per-step displacement bound for the planner's repack-
+        frequency term: dt times the max speed over the 0.8 safety
+        factor -- the SAME quantity :meth:`_choose_repack_interval`
+        divides the half-skin by, so the grid the planner picks is
+        costed with the interval the engine will actually run."""
+        vmax = self._vmax_now()
+        return self.dt * vmax / 0.8 if vmax > 0 else None
+
+    # static repack intervals are quantized so per-run velocity jitter
+    # does not mint a new compiled scan per run() call
+    _K_GRID = (1, 2, 3, 4, 5, 6, 8, 10, 12, 14, 16, 20, 24, 32, 48, 64,
+               96, 128)
+
+    def _choose_repack_interval(self, layout):
+        """Fixed rebuild interval K for the static repack schedule: the
+        Verlet bound (skin/2 over the fastest particle's per-step
+        displacement) with a 0.8 safety factor (velocities fluctuate up,
+        and the rebuild lands one pre_force drift before the first force
+        that uses it). Staleness is still checked every step and
+        self-heals by halving K (run()). Returns None (use the per-step
+        lax.cond) when no displacement bound is derivable."""
+        skin = float(layout.plan.skin)
+        if skin <= 0:
+            return None
+        half = 0.98 * skin / 2.0
+        per = getattr(self.integrator, "max_disp", None)
+        if not per:
+            vmax = self._vmax_now()
+            # zero velocities (cold start): any bound appears after the
+            # first kick; start mid-grid and let self-healing correct
+            per = self.dt * vmax if vmax > 0 else half / 16.0
+        K_est = max(int(half / float(per) * 0.8), 1)
+        K = max(g for g in self._K_GRID if g <= K_est)
+        # hysteresis: per-run velocity jitter flapping K across a grid
+        # boundary mints a fresh compiled scan per run() call (~30 s
+        # through the tunnel). Keep the previous K while it is still on
+        # the SAFE side (<= the fresh bound) and within one grid notch
+        # of it -- a much smaller K (e.g. a quench-phase interval
+        # leaking into production) must NOT stick: it costs a rebuild
+        # every K steps forever.
+        last = getattr(self, "_static_K_last", None)
+        if last is not None and last <= K and \
+                last >= max(g for g in self._K_GRID if g <= max(K - 1, 1)):
+            K = last
+        cap = getattr(self, "_static_K_cap", None)
+        if cap:
+            K = min(K, cap)
+        self._static_K_last = K
+        return K
+
+    def _pallas_eligible(self):
+        """Will the Newton half-stencil Pallas kernel be the hot loop?
+        (single-device TPU, analytic pair route -- the planner's cost
+        model then uses the kernel's 14-block candidate width)."""
+        from ..models.pair import PairModel
+        tfc = self.tfc
+        return (
+            self.mesh is None and jax.default_backend() == "tpu" and
+            (tfc is None or (not tfc.train and not tfc.batch_size and
+                             not tfc.map_enabled)) and
+            ((tfc is not None and isinstance(tfc.model, PairModel)) or
+             (bool(self.forces) and all(hasattr(f, "pair_energy")
+                                        for f in self.forces))))
 
     def _plan_from_current(self):
         """A fresh cellwise plan from the *current* positions/velocities
@@ -513,19 +601,31 @@ class Simulation:
                               skin=max(base.skin, 0.15 * r_cut))
         # cost-model width: 14 when the Newton half-stencil Pallas kernel
         # will be the hot loop (single-device TPU, analytic pair route)
-        from ..models.pair import PairModel
-        pallas_eligible = (
-            self.mesh is None and jax.default_backend() == "tpu" and
-            (tfc is None or (not tfc.train and not tfc.batch_size and
-                             not tfc.map_enabled)) and
-            ((tfc is not None and isinstance(tfc.model, PairModel)) or
-             (self.forces and all(hasattr(f, "pair_energy")
-                                  for f in self.forces))))
+        pallas_eligible = self._pallas_eligible()
+        # measured-occupancy calibration: the running max carried by the
+        # scan (md/slots.py aux['occ_max']) replaces the planner's blind
+        # fluctuation formula once ~300+ steps have been observed at the
+        # current box/size (the history is windowed, so transients age
+        # out; overflow of a tighter plan still self-heals in run())
+        occ_observed = None
+        hist = getattr(self, "_occ_hist", [])
+        if hist and not dynamic:
+            okey = hist[-1][0]
+            if okey[1] == tuple(float(v) for v in lengths) and \
+                    okey[2] == self.state.n_particles and \
+                    sum(h[2] for h in hist) >= 300:
+                occ_observed = (okey[0], max(h[1] for h in hist))
+        # with a measured running max in hand, the planning-time
+        # occupancy snapshot adds nothing (the running max bounds it) --
+        # and skipping it skips shipping the position array to the host
+        # (~0.3 s per pull through a remote-TPU tunnel)
         plan = plan_cellwise(
             self.state.n_particles, lengths, r_cut, config=config,
-            positions=np.asarray(self.state.positions), lo=lo,
+            positions=(None if occ_observed is not None
+                       else np.asarray(self.state.positions)), lo=lo,
             drift_per_step=drift, z_divisor=z_div,
-            width_blocks=14 if pallas_eligible else 27)
+            width_blocks=14 if pallas_eligible else 27,
+            occ_observed=occ_observed)
         # overflow self-healing (run()): a prior capacity overflow sets
         # a floor that every later plan honors -- occupancy measured at
         # planning time can undersell the running fluid's fluctuations
@@ -721,7 +821,8 @@ class Simulation:
         return always_eval, needs_virial, carry_mf, carry_mvir
 
     def _make_step(self, n_extras, extras_shapes, nlist_builder=None,
-                   log=False, layout=None, log_period=1):
+                   log=False, layout=None, log_period=1,
+                   static_repack=False):
         """Build the scan body. Static configuration is closed over.
 
         The returned function carries a ``refresh`` attribute: ``None``,
@@ -729,6 +830,16 @@ class Simulation:
         for the slim-step mode (see ``slim`` below), which ``run()``
         applies once after the scan so ``sim.thermo()`` / force
         accessors observe exactly what an ungated loop would have left.
+
+        :param static_repack: drop the per-step ``lax.cond`` rebuild from
+            the body; ``run()`` instead rebuilds UNCONDITIONALLY between
+            fixed-length inner scans (``step.rebuild_carry``). The cond's
+            pass-through rewrite of the whole carried state was measured
+            ~0.9 ms/step at 64k (probes/kbench15-16) -- 5x the amortized
+            cost of just repacking every K steps. The Verlet criterion
+            still runs each step, as a carried STALENESS bit (flags bit
+            1): a particle outrunning skin/2 between scheduled rebuilds
+            rolls the segment back and halves K (run() self-heal).
 
         :param layout: a :class:`.slots.SlotLayout` when the cellwise
             (slot-resident) neighbor mode is active; the carried state is
@@ -1109,6 +1220,7 @@ class Simulation:
         def step(carry, it):
             (state, aux, mv, opt_state, model_forces, model_virial,
              overflow) = carry
+            stale_now = None
             state = integ.pre_force(state, dt)
             if layout is not None:
                 # ghosts must stay inert through any integrator substep
@@ -1118,29 +1230,38 @@ class Simulation:
                     # reposition CG bead rows BEFORE the rebuild check so
                     # a mapping-induced bead move triggers the repack
                     state = mapped_apply_slots(state, aux)
-                # carried stale model forces must follow their particles
-                # through the repack permutation. NOTE a narrower cond
-                # (argsort under the cond, the state gather applied
-                # unconditionally with an identity permutation) was
-                # measured 7x SLOWER at 64k: dynamic row gathers run at
-                # ~1e8 elem/s on TPU, so eight per-step [n_slots] state
-                # gathers cost ~10 ms -- far more than the wide cond's
-                # ~0.15 ms pass-through rewrite (docs/performance.md).
-                perm_in = ((model_forces,) if carry_mf else ()) + \
-                    ((model_virial,) if carry_mvir else ())
+                if static_repack:
+                    # no in-body rebuild: run() repacks unconditionally
+                    # between inner scans (step.rebuild_carry). The
+                    # Verlet check still runs -- as a cheap carried bit,
+                    # not a cond: staleness rolls the segment back.
+                    stale_now = layout.needs_rebuild(state, aux)
+                else:
+                    # carried stale model forces must follow their
+                    # particles through the repack permutation. NOTE a
+                    # narrower cond (argsort under the cond, the state
+                    # gather applied unconditionally with an identity
+                    # permutation) was measured 7x SLOWER at 64k:
+                    # dynamic row gathers run at ~1e8 elem/s on TPU, so
+                    # eight per-step [n_slots] state gathers cost
+                    # ~10 ms -- far more than the cond's pass-through
+                    # rewrite (docs/performance.md).
+                    perm_in = ((model_forces,) if carry_mf else ()) + \
+                        ((model_virial,) if carry_mvir else ())
 
-                def do_rebuild(args):
-                    st, ax, ex = layout.rebuild(args[0], args[1], args[2:])
-                    return (st, ax) + tuple(ex)
+                    def do_rebuild(args):
+                        st, ax, ex = layout.rebuild(args[0], args[1],
+                                                    args[2:])
+                        return (st, ax) + tuple(ex)
 
-                out = jax.lax.cond(
-                    layout.needs_rebuild(state, aux), do_rebuild,
-                    lambda args: args, (state, aux) + perm_in)
-                state, aux = out[0], out[1]
-                if carry_mf:
-                    model_forces = out[2]
-                if carry_mvir:
-                    model_virial = out[3 if carry_mf else 2]
+                    out = jax.lax.cond(
+                        layout.needs_rebuild(state, aux), do_rebuild,
+                        lambda args: args, (state, aux) + perm_in)
+                    state, aux = out[0], out[1]
+                    if carry_mf:
+                        model_forces = out[2]
+                    if carry_mvir:
+                        model_virial = out[3 if carry_mf else 2]
                 model_needs_planes = train or not pair_fast
                 builtins_need_planes = bool(self.forces) and \
                     not builtin_fast
@@ -1286,9 +1407,13 @@ class Simulation:
                 thermo_y = _thermo.thermo(state)
             else:
                 thermo_y = {}
-            # overflow rides the carry (OR-accumulated) instead of the
-            # per-step ys: one bool checked once at the end of the run
-            overflow = jnp.logical_or(overflow, cell_overflow)
+            # failure flags ride the carry (OR-accumulated) instead of
+            # the per-step ys: one int checked once at the end of the
+            # run. Bit 0 = capacity overflow; bit 1 = Verlet staleness
+            # under the static repack schedule.
+            overflow = overflow | cell_overflow.astype(jnp.int32)
+            if stale_now is not None:
+                overflow = overflow | (stale_now.astype(jnp.int32) << 1)
             ys = ((loss, extras, thermo_y) if (train or n_extras)
                   else (loss, (), thermo_y))
             return (state, aux, mv, opt_state, model_forces,
@@ -1336,6 +1461,26 @@ class Simulation:
             step.refresh = jax.jit(refresh)
         else:
             step.refresh = None
+
+        if static_repack and layout is not None:
+            def rebuild_carry(carry):
+                """Unconditional repack of the full carry (run() calls
+                this between the fixed-length inner scans)."""
+                (state, aux, mv, opt_state, model_forces, model_virial,
+                 overflow) = carry
+                perm_in = ((model_forces,) if carry_mf else ()) + \
+                    ((model_virial,) if carry_mvir else ())
+                state, aux, ex = layout.rebuild(state, aux, perm_in)
+                if carry_mf:
+                    model_forces = ex[0]
+                if carry_mvir:
+                    model_virial = ex[1 if carry_mf else 0]
+                return (state, aux, mv, opt_state, model_forces,
+                        model_virial, overflow)
+
+            step.rebuild_carry = rebuild_carry
+        else:
+            step.rebuild_carry = None
 
         return step
 
@@ -1441,8 +1586,8 @@ class Simulation:
         n = int(n)
         if n <= 0:
             return
-        for attempt in range(3):
-            if self._run_once(n, log_period, allow_retry=attempt < 2):
+        for attempt in range(5):
+            if self._run_once(n, log_period, allow_retry=attempt < 4):
                 return
 
     def _run_once(self, n, log_period, allow_retry=False):
@@ -1457,6 +1602,18 @@ class Simulation:
             layout = self._maybe_auto_replan(layout)
             if tfc is not None:
                 self._probe_lane_fast(layout, n_extras)
+
+        # static repack schedule: rebuild unconditionally every K steps
+        # instead of a per-step lax.cond (see _make_step static_repack)
+        integ_id = id(self.integrator)
+        if getattr(self, "_static_K_integ", None) != integ_id:
+            # integrator swap (e.g. Minimize quench -> NVT production):
+            # the old regime's interval must not anchor the new one's
+            self._static_K_last = None
+            self._static_K_integ = integ_id
+        static_K = (self._choose_repack_interval(layout)
+                    if layout is not None and not layout.dynamic_box
+                    else None)
 
         block = int(self.scan_block) if self.scan_block else n
         segments = [block] * (n // block)
@@ -1476,15 +1633,25 @@ class Simulation:
                     layout.plan if layout else None,
                     getattr(tfc, "_lane_fast_ok", False), integ_key)
 
-        # the scan carry rides the wire in SoA column form (_Cols): the
-        # step body re-stacks at entry and re-splits at exit, XLA fuses
-        # both into the adjacent math, and the carried [n,3]/[n,4]
-        # arrays never materialize in their padded-trailing-dim layout
+        # the scan carry rides the wire in SoA column form (_Cols) ONLY
+        # on the per-step-cond path: there the cond's buffer handling
+        # made AoS carries materialize in padded-tile layout (measured
+        # 584 -> 597). Under the cond-free static-repack nested scan the
+        # wire INVERTS -- the per-step re-split/re-stack blocks fusion
+        # across the outer scan boundary (measured 6.08 vs 1.88 ms/step
+        # at 64k, probes round 3) -- so that path carries plain arrays.
+        use_wire = not static_K
         wire_rows = (layout.plan.n_slots if layout is not None
                      else self.state.n_particles)
 
+        def w(c):
+            return _wire(c, wire_rows) if use_wire else c
+
+        def uw(c):
+            return _unwire(c) if use_wire else c
+
         def scan_for(length):
-            cache_key = (length,) + base_key
+            cache_key = (length, static_K) + base_key
             if cache_key not in self._scan_cache:
                 nlist_builder = (self._make_nlist_builder()
                                  if (layout is None and
@@ -1493,23 +1660,65 @@ class Simulation:
                 step = self._make_step(n_extras, extras_shapes,
                                        nlist_builder, log=log,
                                        layout=layout,
-                                       log_period=log_period or 1)
+                                       log_period=log_period or 1,
+                                       static_repack=bool(static_K))
 
                 def wire_step(c, x):
-                    c2, ys = step(_unwire(c), x)
-                    return _wire(c2, wire_rows), ys
+                    c2, ys = step(uw(c), x)
+                    return w(c2), ys
 
-                @jax.jit
-                def scan_n(carry):
-                    return jax.lax.scan(wire_step, carry, None,
-                                        length=length)
+                if static_K and step.rebuild_carry is not None:
+                    # outer scan over repack periods; each outer step
+                    # repacks unconditionally then runs K cond-free
+                    # inner steps (the cond's whole-carry pass-through
+                    # rewrite cost ~0.9 ms/step at 64k; one in-scan
+                    # repack costs ~2 ms, so /K amortization wins by
+                    # ~4x -- probes/kbench15-16)
+                    base_rebuild = step.rebuild_carry
+
+                    def rebuild_w(c):
+                        return w(base_rebuild(uw(c)))
+
+                    n_outer, rem = divmod(length, static_K)
+
+                    def outer_body(c, x):
+                        c = rebuild_w(c)
+                        return jax.lax.scan(wire_step, c, None,
+                                            length=static_K)
+
+                    @jax.jit
+                    def scan_n(carry):
+                        ys_parts = []
+                        if n_outer:
+                            carry, ys = jax.lax.scan(
+                                outer_body, carry, None, length=n_outer)
+                            ys = jax.tree_util.tree_map(
+                                lambda a: a.reshape(
+                                    (n_outer * static_K,) + a.shape[2:]),
+                                ys)
+                            ys_parts.append(ys)
+                        if rem:
+                            carry = rebuild_w(carry)
+                            carry, ys2 = jax.lax.scan(
+                                wire_step, carry, None, length=rem)
+                            ys_parts.append(ys2)
+                        ys = (ys_parts[0] if len(ys_parts) == 1 else
+                              jax.tree_util.tree_map(
+                                  lambda *xs: jnp.concatenate(xs, 0),
+                                  *ys_parts))
+                        return carry, ys
+                else:
+                    @jax.jit
+                    def scan_n(carry):
+                        return jax.lax.scan(wire_step, carry, None,
+                                            length=length)
 
                 if step.refresh is not None:
                     base_refresh = step.refresh
 
                     @jax.jit
                     def refresh_w(c):
-                        return _wire(base_refresh(_unwire(c)), wire_rows)
+                        return w(base_refresh(uw(c)))
                 else:
                     refresh_w = None
                 self._scan_cache[cache_key] = (scan_n, refresh_w)
@@ -1532,25 +1741,39 @@ class Simulation:
             mf0 = jnp.zeros((0, 4), dtype=dtype)
             mvir0 = jnp.zeros((0, 3, 3), dtype=dtype)
         if layout is not None:
-            to_pack = ((mf0,) if carry_mf else ()) + \
-                ((mvir0,) if carry_mvir else ())
-            start_state, aux0, packed = layout.pack_jit(
-                self.state, to_pack)
-            if carry_mf:
-                mf0 = packed[0]
-            if carry_mvir:
-                mvir0 = packed[1]
-            if self.mesh is not None:
-                start_state, aux0, mf0, mvir0 = self._apply_mesh(
-                    (start_state, aux0, mf0, mvir0), layout.plan.n_slots)
+            # pack cache: back-to-back run() calls on the state object
+            # the previous run produced skip the repack (and its host
+            # dispatch round trips -- real money through a remote-TPU
+            # tunnel). Any user replacement of sim.state is a new object
+            # and misses.
+            cached = getattr(self, "_packed_cache", None)
+            if cached is not None and \
+                    cached["state_ref"] is self.state and \
+                    cached["layout"] is layout and \
+                    cached["flags"] == (carry_mf, carry_mvir):
+                start_state, aux0, mf0, mvir0 = cached["vals"]
+            else:
+                to_pack = ((mf0,) if carry_mf else ()) + \
+                    ((mvir0,) if carry_mvir else ())
+                start_state, aux0, packed = layout.pack_jit(
+                    self.state, to_pack)
+                if carry_mf:
+                    mf0 = packed[0]
+                if carry_mvir:
+                    mvir0 = packed[1]
+                if self.mesh is not None:
+                    start_state, aux0, mf0, mvir0 = self._apply_mesh(
+                        (start_state, aux0, mf0, mvir0),
+                        layout.plan.n_slots)
         else:
             start_state, aux0 = self.state, {}
             if self.mesh is not None:
                 start_state, mf0, mvir0 = self._apply_mesh(
                     (start_state, mf0, mvir0), self.state.n_particles)
         carry = (start_state, aux0, mv, opt_state, mf0, mvir0,
-                 jnp.asarray(False))
-        carry = _wire_jit(carry, wire_rows)
+                 jnp.asarray(0, jnp.int32))
+        if use_wire:
+            carry = _wire_jit(carry, wire_rows)
         start_step = int(np.asarray(self.state.step))
         seg_start = start_step
         log_entries = []
@@ -1574,9 +1797,27 @@ class Simulation:
             # virial); one full evaluation at the final positions makes
             # post-run state bit-identical to an ungated loop
             carry = refresh(carry)
-        state, aux, mv, opt_state, mf, mvir, overflow = \
-            _unwire_jit(carry)
-        overflow_now = bool(np.asarray(overflow))
+        state, aux, mv, opt_state, mf, mvir, flags = \
+            (_unwire_jit(carry) if use_wire else carry)
+        flags_now = int(np.asarray(flags))
+        overflow_now = bool(flags_now & 1)
+        stale_now = bool(flags_now & 2)
+        if layout is not None and not layout.dynamic_box and \
+                "occ_max" in aux:
+            # measured running max cell occupancy (carried through every
+            # repack for free): feeds replan() capacity calibration
+            # (ops/cellwise.plan_cellwise occ_observed). Windowed so a
+            # cold-start transient (the melt) ages out of the statistic.
+            okey = (layout.plan.grid, layout.plan.lengths,
+                    self.state.n_particles)
+            hist = [h for h in getattr(self, "_occ_hist", [])
+                    if h[0] == okey]
+            hist.append((okey, int(np.asarray(aux["occ_max"])),
+                         sum(segments)))
+            while len(hist) > 1 and \
+                    sum(h[2] for h in hist[:-1]) > 2000:
+                hist.pop(0)
+            self._occ_hist = hist
         if overflow_now and allow_retry and self.auto_replan and \
                 layout is not None and not layout.dynamic_box:
             # roll back and self-heal (HOOMD's cell list resizes itself
@@ -1598,7 +1839,23 @@ class Simulation:
                 f"replanning with capacity >= {floor} and re-running "
                 f"these {sum(segments)} steps from their start")
             return False
+        if stale_now and not overflow_now and static_K and allow_retry:
+            # a particle outran skin/2 between two scheduled rebuilds:
+            # some force evaluations may have missed an incoming
+            # neighbor. Roll back (nothing committed) and re-run with a
+            # quartered repack interval (converges from any pathological
+            # overestimate within run()'s retry budget); the cap
+            # persists for this plan.
+            import warnings
+            self._static_K_cap = max(1, static_K // 4)
+            warnings.warn(
+                f"Verlet staleness under the static repack schedule "
+                f"(interval {static_K}); re-running these "
+                f"{sum(segments)} steps with interval "
+                f"{self._static_K_cap}")
+            return False
         if layout is not None:
+            slot_vals = (state, aux, mf, mvir)
             to_unpack = ((mf,) if carry_mf else ()) + \
                 ((mvir,) if carry_mvir else ())
             state, unpacked = layout.unpack_jit(state, aux, to_unpack)
@@ -1607,6 +1864,13 @@ class Simulation:
             if carry_mvir:
                 mvir = unpacked[1]
         self.state = state
+        if layout is not None:
+            # the strong state_ref makes the identity check safe against
+            # id() reuse after garbage collection
+            self._packed_cache = {"state_ref": self.state,
+                                  "layout": layout,
+                                  "flags": (carry_mf, carry_mvir),
+                                  "vals": slot_vals}
         if log_entries:
             entry = {k: np.concatenate([e[k] for e in log_entries])
                      for k in log_entries[0]}
@@ -1624,6 +1888,12 @@ class Simulation:
                 "the box shrank until min(edge) < r_cut or went "
                 "non-finite). Increase CellList(capacity=) / "
                 "Cellwise(capacity=) or attach with nlist='n2'.")
+        if stale_now and static_K:
+            raise ValueError(
+                f"A particle moved more than skin/2 between two "
+                f"scheduled neighbor rebuilds even at repack interval "
+                f"{static_K} -- the integration is likely diverging "
+                f"(forces too large for dt={self.dt}).")
         if tfc:
             set_state(tfc.model, mv)
             tfc._model_forces = mf if carry_mf else None

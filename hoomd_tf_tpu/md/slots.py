@@ -108,8 +108,9 @@ class SlotLayout:
         dtype = state.positions.dtype
         lo, lengths = self._geom(state)
         valid_n = jnp.ones((self.n,), dtype=dtype)
-        src, overflow = cw.repack_src(
-            state.positions, valid_n, lo, plan, lengths=lengths)
+        src, overflow, occ = cw.repack_src(
+            state.positions, valid_n, lo, plan, lengths=lengths,
+            with_occ=True)
         has = src < self.n
         put = self._take(src, has)
 
@@ -132,7 +133,12 @@ class SlotLayout:
         aux = {"valid": valid, "orig": orig,
                "ref": (self._frac(positions, lo, lengths, dtype)
                        if self.dynamic_box else positions),
-               "overflow": overflow}
+               "overflow": overflow,
+               # running max cell occupancy over the run (updated at
+               # every repack): calibrates replan() capacity against
+               # what the fluid actually does, instead of the planner's
+               # conservative fluctuation formula
+               "occ_max": occ}
         packed = tuple(put(e, jnp.zeros((), e.dtype)) for e in extra_rows)
         return slot_state, aux, packed
 
@@ -195,8 +201,9 @@ class SlotLayout:
         n_slots = plan.n_slots
         dtype = slot_state.positions.dtype
         lo, lengths = self._geom(slot_state)
-        src, overflow = cw.repack_src(
-            slot_state.positions, aux["valid"], lo, plan, lengths=lengths)
+        src, overflow, occ = cw.repack_src(
+            slot_state.positions, aux["valid"], lo, plan, lengths=lengths,
+            with_occ=True)
         # only valid rows survive repack_src (ghosts sort to the end and
         # are dropped), so every sourced row is a real particle
         has = src < n_slots
@@ -215,7 +222,8 @@ class SlotLayout:
         new_aux = {"valid": valid, "orig": orig,
                    "ref": (self._frac(positions, lo, lengths, dtype)
                            if self.dynamic_box else positions),
-                   "overflow": jnp.logical_or(aux["overflow"], overflow)}
+                   "overflow": jnp.logical_or(aux["overflow"], overflow),
+                   "occ_max": jnp.maximum(aux.get("occ_max", occ), occ)}
         packed = tuple(put(e, jnp.zeros((), e.dtype)) for e in extra_rows)
         return new_state, new_aux, packed
 

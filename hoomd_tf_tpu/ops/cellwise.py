@@ -134,23 +134,39 @@ def _measured_occupancy(positions, lo, lengths, dims):
     return int(counts.max()), float(counts.mean()), float(counts.std())
 
 
-# Measured on TPU v5e (docs/performance.md): one *padded* pair lane
-# costs ~17-20 ps (analytic forward; the Pallas half-stencil kernel runs
-# ~20 ps/lane on its 14-block width) to ~25 ps (vjp route); one slot of
-# repack costs ~11 ns (one sort pass + segmented-scan ranks + the
-# single-gather permutation, ops/cellwise.repack_src). Only the ratio
-# matters -- it trades candidate-plane width against repack frequency.
-_PAIR_LANE_COST = 17e-12
-_REPACK_SLOT_COST = 11e-9
+# Measured on TPU v5e (docs/performance.md, probes/kbench14-16): one
+# *padded* pair lane costs ~14 ps (Pallas half-stencil incl. plane build
+# and roll-back assembly at the honest 64k fluid) to ~25 ps (vjp route);
+# one slot of in-scan repack costs ~14 ns (one sort pass + segmented-
+# scan ranks + the single-gather permutation, ops/cellwise.repack_src --
+# 2.08 ms at 151875 slots). Only the ratio matters -- it trades
+# candidate-plane width against repack frequency.
+_PAIR_LANE_COST = 14e-12
+_REPACK_SLOT_COST = 14e-9
 
 
 def _pad_to(x, m):
     return -(-x // m) * m
 
 
+def _snap_free_capacity(cap, width_blocks):
+    """Largest capacity with the SAME padded kernel cost as ``cap``.
+
+    The hot arrays tile ``(pad8(cap), pad128(width_blocks * cap))``; any
+    capacity inside the same tile pair costs identical lanes, so the
+    extra slots are free overflow insurance (e.g. at 14 blocks, caps
+    33..36 all execute as (40, 512))."""
+    s8, s128 = _pad_to(cap, 8), _pad_to(width_blocks * cap, 128)
+    c = int(cap)
+    while (c + 1 <= s8 and
+           _pad_to(width_blocks * (c + 1), 128) == s128):
+        c += 1
+    return c
+
+
 def plan_cellwise(n, box_lengths, r_cut, config=None, positions=None,
                   lo=None, drift_per_step=None, z_divisor=1,
-                  width_blocks=27):
+                  width_blocks=27, occ_observed=None):
     """Choose ``(grid, capacity)`` minimizing amortized per-step cost.
 
     The fused pair loop costs ``27 * n_cells * capacity**2`` lanes;
@@ -178,6 +194,15 @@ def plan_cellwise(n, box_lengths, r_cut, config=None, positions=None,
         routes, 14 when the Newton half-stencil Pallas kernel is the hot
         loop (the padded-lane breakpoints differ, which can shift the
         chosen grid).
+    :param occ_observed: optional ``(grid, occ_running_max)`` measured by
+        the engine over a previous run on ``grid`` (the scan carries the
+        max snapshot occupancy across every repack, md/slots.py). When
+        given, it replaces the conservative statistical fluctuation
+        estimate: the observed max IS the quantity capacity must cover,
+        so capacity = observed + a small extreme-value margin (scaled by
+        ``sqrt(mean_ratio)`` when the candidate grid differs), snapped up
+        to the padded-tile boundary for free insurance. Overflow of a
+        tighter plan is still detected at every repack and self-healed.
     :returns: a :class:`CellwisePlan`, or ``None`` if no valid grid (>= 3
         cells per axis) exists.
     """
@@ -216,14 +241,33 @@ def plan_cellwise(n, box_lengths, r_cut, config=None, positions=None,
         # back and replans with a raised floor when it fires.
         c = math.sqrt(2.0 * math.log(max(n_cells_d, 2.0) * 100.0))
         est = int(math.ceil(mean + c * math.sqrt(0.9 * max(mean, 1.0))))
+        if occ_observed is not None:
+            # measured-running-max calibration: the observed max over a
+            # run's repacks bounds what the formula above estimates
+            # blind. The fluctuation EXCESS (max - mean) transfers to a
+            # different grid as ~sqrt(mean ratio) (near-Poisson counts,
+            # same extreme-value factor); +2 covers run-to-run drift of
+            # the running max.
+            cal_grid, cal_occ = occ_observed
+            cal_mean = n / float(np.prod(cal_grid))
+            excess = max(float(cal_occ) - cal_mean, 0.0)
+            est_obs = int(math.ceil(
+                mean + excess * math.sqrt(mean / max(cal_mean, 1e-9)))) + 2
+            est = min(est, est_obs)
         if config.capacity is not None:
-            cap = int(config.capacity)
+            cap = int(config.capacity)  # the user's word, exactly
         elif positions is not None:
             occ_max, _, _ = _measured_occupancy(
                 positions, lo, lengths, dims)
-            cap = max(occ_max, est) + 3
+            cap = (max(occ_max + 1, est) if occ_observed is not None
+                   else max(occ_max, est) + 3)
+            cap = _snap_free_capacity(cap, width_blocks)
+        elif occ_observed is not None:
+            # est_obs already carries the +2 extreme-value margin; no
+            # snapshot needed (the running max bounds any snapshot)
+            cap = _snap_free_capacity(est, width_blocks)
         else:
-            cap = est + 4
+            cap = _snap_free_capacity(est + 4, width_blocks)
         n_cells = int(np.prod(dims))
         skin = min(edges) - r_cut
         # the hot arrays are [n_cells, cap, width_blocks*cap], tiled
@@ -634,10 +678,15 @@ def repack_order(positions, valid, lo, plan, lengths=None):
     kept = real & (rank < cap)
     new_slot = jnp.where(kept, sk * cap + jnp.minimum(rank, cap - 1),
                          n_slots)  # out-of-range -> dropped by the scatter
-    return order, new_slot, kept, overflow
+    # max cell occupancy of THIS snapshot, free from the ranks already in
+    # hand: the running max over a run calibrates replan() capacity (the
+    # statistical fluctuation formula in plan_cellwise is deliberately
+    # conservative; the measured running max is the ground truth)
+    occ = jnp.max(jnp.where(real, rank, -1)) + 1
+    return order, new_slot, kept, overflow, occ
 
 
-def repack_src(positions, valid, lo, plan, lengths=None):
+def repack_src(positions, valid, lo, plan, lengths=None, with_occ=False):
     """Single-permutation form of :func:`repack_order`: the per-SLOT
     source-row map.
 
@@ -648,11 +697,14 @@ def repack_src(positions, valid, lo, plan, lengths=None):
     by ``new_slot`` -- measured ~2x cheaper at 64k, and the repack is the
     dominant non-force cost of the cellwise step (ROADMAP).
 
-    :returns: ``(src [n_slots] int32, overflow)``.
+    :returns: ``(src [n_slots] int32, overflow)``, plus the snapshot max
+        cell occupancy (int32 scalar) when ``with_occ``.
     """
-    order, new_slot, kept, overflow = repack_order(
+    order, new_slot, kept, overflow, occ = repack_order(
         positions, valid, lo, plan, lengths=lengths)
     rows = positions.shape[0]
     src = jnp.full((plan.n_slots,), rows, jnp.int32).at[new_slot].set(
         order.astype(jnp.int32), mode="drop")
+    if with_occ:
+        return src, overflow, occ
     return src, overflow

@@ -33,6 +33,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 from .cellwise import (_HALF_OFFS, _relative_coords, _roll_back)
 
@@ -49,11 +50,21 @@ def _kernel(pair_eval, const_shapes, with_types, rcut_matrix, cap, n_blocks,
     epsilon/sigma scalars, NN weights from the lane-separability probe,
     ...) arrives through ``refs`` instead of being baked into the kernel
     jaxpr -- Pallas rejects captured array constants outright.
+
+    Occupancy-predicated row groups: real particles occupy a PREFIX of
+    each cell's slots (the repack ranks them), honest capacity covers
+    the running max (~1.5-2.5x the mean), and the VPU sublane tile is 8
+    rows -- so the row axis is processed in 8-row groups, each guarded
+    by ``pl.when(g * 8 < block_max_occupancy)``. Whole groups of ghost
+    rows (typically 1-3 of 5-6 at 64k) never execute; measured 1.16x on
+    the kernel at the honest 64k fluid state point (probes/kbench14;
+    per-(cell,group) predication loses the cross-cell vectorization and
+    benches SLOWER -- the block-max form keeps it).
     """
     C = n_blocks * cap
-    i = 0
-    gx_ref, gy_ref, gz_ref = refs[:3]
-    i = 3
+    occ_ref = refs[0]
+    gx_ref, gy_ref, gz_ref = refs[1:4]
+    i = 4
     gt_ref = None
     if with_types or rcut_matrix is not None:
         gt_ref = refs[i]
@@ -71,61 +82,80 @@ def _kernel(pair_eval, const_shapes, with_types, rcut_matrix, cap, n_blocks,
     out_refs = refs[i:]
 
     gx, gy, gz = gx_ref[:], gy_ref[:], gz_ref[:]          # [B, C]
-    # block 0 is the self cell with zero offset: the rows themselves
-    qx, qy, qz = gx[:, :cap], gy[:, :cap], gz[:, :cap]    # [B, cap]
-    dx = gx[:, None, :] - qx[:, :, None]                  # [B, cap, C]
-    dy = gy[:, None, :] - qy[:, :, None]
-    dz = gz[:, None, :] - qz[:, :, None]
-    d2 = dx * dx + dy * dy + dz * dz
-
-    row = jax.lax.broadcasted_iota(jnp.int32, (cap, C), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (cap, C), 1)
-    not_self = jnp.logical_not((col < cap) & (col == row))[None]
-    ok = (d2 <= rc2) & not_self
     if gt_ref is not None:
         gt = gt_ref[:]
-        ti = gt[:, :cap][:, :, None]
         tj = gt[:, None, :]
-    if rcut_matrix is not None:
-        # pair_rc2 unrolls the CONCRETE host matrix into python-scalar
-        # mask terms (no array constant reaches the kernel jaxpr)
-        from .nlist import pair_rc2
-        ok = ok & (d2 <= pair_rc2(ti, tj, rcut_matrix, d2.dtype))
-    r2 = jnp.maximum(d2, min_r2)
-    if with_types:
-        U, dU = pair_eval(consts, r2, ti, tj)
-    else:
-        U, dU = pair_eval(consts, r2)
-    zero = jnp.zeros((), dtype=d2.dtype)
-    s = jnp.where(ok, dU, zero)
+    B = gx.shape[0]
+    omax = occ_ref[0, 0]
+    for b in range(1, B):
+        omax = jnp.maximum(omax, occ_ref[b, 0])
 
-    def dual(prod, fwd_c, back_c, out_ref):
-        """out[:, :cap] = row-side sum; out[:, cap:] = candidate-side
-        sums of the directed blocks (block 0's back side is the self
-        cell's second counting -- already covered by the row side)."""
-        fwd = fwd_c * jnp.sum(prod, axis=2)               # [B, cap]
-        back = back_c * jnp.sum(prod, axis=1)             # [B, C]
-        out_ref[:, :cap] = fwd
-        out_ref[:, cap:] = back[:, cap:]
+    for r in out_refs:
+        r[:] = jnp.zeros_like(r)
 
-    oi = 0
-    if needs_energy:
-        # the energy lanes (U, its mask select, one dual reduction) are
-        # ~10% of the kernel; the hot loop skips them on all but
-        # logged/final steps and the unused U math DCEs away
-        g = jnp.where(ok, U, zero)
-        dual(g, 0.5, 0.5, out_refs[0])
-        oi = 1
-    dual(s * dx, 2.0, -2.0, out_refs[oi + 0])
-    dual(s * dy, 2.0, -2.0, out_refs[oi + 1])
-    dual(s * dz, 2.0, -2.0, out_refs[oi + 2])
-    if needs_virial:
-        dual(s * dx * dx, -1.0, -1.0, out_refs[oi + 3])
-        dual(s * dy * dy, -1.0, -1.0, out_refs[oi + 4])
-        dual(s * dz * dz, -1.0, -1.0, out_refs[oi + 5])
-        dual(s * dx * dy, -1.0, -1.0, out_refs[oi + 6])
-        dual(s * dx * dz, -1.0, -1.0, out_refs[oi + 7])
-        dual(s * dy * dz, -1.0, -1.0, out_refs[oi + 8])
+    zero = jnp.zeros((), dtype=gx.dtype)
+    groups = [(g * 8, min(cap, (g + 1) * 8))
+              for g in range(-(-cap // 8))]
+    for lo_r, hi_r in groups:
+        @pl.when(lo_r < omax)
+        def _(lo_r=lo_r, hi_r=hi_r):
+            w = hi_r - lo_r
+            # rows lo_r:hi_r of every cell vs the full candidate planes
+            qx = gx[:, lo_r:hi_r]
+            qy = gy[:, lo_r:hi_r]
+            qz = gz[:, lo_r:hi_r]
+            dx = gx[:, None, :] - qx[:, :, None]          # [B, w, C]
+            dy = gy[:, None, :] - qy[:, :, None]
+            dz = gz[:, None, :] - qz[:, :, None]
+            d2 = dx * dx + dy * dy + dz * dz
+            row = jax.lax.broadcasted_iota(jnp.int32, (w, C), 0) + lo_r
+            col = jax.lax.broadcasted_iota(jnp.int32, (w, C), 1)
+            not_self = jnp.logical_not((col < cap) & (col == row))[None]
+            ok = (d2 <= rc2) & not_self
+            if gt_ref is not None:
+                ti = gt[:, lo_r:hi_r][:, :, None]
+            if rcut_matrix is not None:
+                # pair_rc2 unrolls the CONCRETE host matrix into
+                # python-scalar mask terms (no array constant reaches
+                # the kernel jaxpr)
+                from .nlist import pair_rc2
+                ok = ok & (d2 <= pair_rc2(ti, tj, rcut_matrix, d2.dtype))
+            r2 = jnp.maximum(d2, min_r2)
+            if with_types:
+                U, dU = pair_eval(consts, r2, ti, tj)
+            else:
+                U, dU = pair_eval(consts, r2)
+            s = jnp.where(ok, dU, zero)
+
+            def dual(prod, fwd_c, back_c, out_ref):
+                """out[:, lo_r:hi_r] = this group's row-side sums;
+                out[:, cap:] accumulates the candidate-side (Newton
+                back) sums of the directed blocks over groups (block
+                0's back side is the self cell's second counting --
+                already covered by the row side)."""
+                out_ref[:, lo_r:hi_r] = fwd_c * jnp.sum(prod, axis=2)
+                back = back_c * jnp.sum(prod, axis=1)     # [B, C]
+                out_ref[:, cap:] = out_ref[:, cap:] + back[:, cap:]
+
+            oi = 0
+            if needs_energy:
+                # the energy lanes (U, its mask select, one dual
+                # reduction) are ~10% of the kernel; the hot loop skips
+                # them on all but logged/final steps and the unused U
+                # math DCEs away
+                g_ = jnp.where(ok, U, zero)
+                dual(g_, 0.5, 0.5, out_refs[0])
+                oi = 1
+            dual(s * dx, 2.0, -2.0, out_refs[oi + 0])
+            dual(s * dy, 2.0, -2.0, out_refs[oi + 1])
+            dual(s * dz, 2.0, -2.0, out_refs[oi + 2])
+            if needs_virial:
+                dual(s * dx * dx, -1.0, -1.0, out_refs[oi + 3])
+                dual(s * dy * dy, -1.0, -1.0, out_refs[oi + 4])
+                dual(s * dz * dz, -1.0, -1.0, out_refs[oi + 5])
+                dual(s * dx * dy, -1.0, -1.0, out_refs[oi + 6])
+                dual(s * dx * dz, -1.0, -1.0, out_refs[oi + 7])
+                dual(s * dy * dz, -1.0, -1.0, out_refs[oi + 8])
 
 
 def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
@@ -138,9 +168,9 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
     computed by the Pallas half-stencil kernel (same contract, same
     returns; see that docstring for the physics and masking rules).
 
-    :param block_cells: cells per kernel grid step (VMEM working set is
-        ``~8 * block_cells * cap * 14*cap * 4`` bytes; default sized to
-        ~4 MB).
+    :param block_cells: cells per kernel grid step (default 8 -- the
+        smallest Mosaic-legal block, which keeps the occupancy predicate
+        tight; see ``_kernel``).
     :param interpret: run the kernel in interpreter mode (CPU tests).
     :param lane_dtype: optional reduced precision (``jnp.bfloat16``) for
         the pair lanes: candidate planes are cast on entry, the whole
@@ -150,8 +180,6 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
         relative force error through an r^-12 core (see
         docs/performance.md for the measured accuracy/speed tradeoff).
     """
-    from jax.experimental import pallas as pl
-
     dtype = positions.dtype
     out_dtype = dtype if lane_dtype is None else jnp.dtype(lane_dtype)
     n_cells, cap = plan.n_cells, plan.capacity
@@ -169,29 +197,26 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
 
     n_out = (1 if needs_energy else 0) + 3 + (6 if needs_virial else 0)
     # grid blocking: pad n_cells to a multiple of the block size. Padded
-    # rows replicate row 0's candidates; their outputs are garbage but
-    # they are sliced off before the roll-back (and they never write
-    # anywhere else: back sums stay within their own row block).
+    # rows replicate row 0's candidates with ZERO occupancy (every row
+    # group predicated off); their outputs are zeros and sliced off
+    # before the roll-back.
     if block_cells is None:
-        # Mosaic needs the leading block dim divisible by 8; scale up in
-        # multiples of 8 while the VMEM working set stays under ~14 MB of
-        # the 16 MB scoped limit. The cost model uses the TILE-PADDED
-        # dims (cap pads to 8 sublanes, the lane dim to 128 -- at cap 13
-        # the padding is 1.7x and the unpadded estimate OOMs Mosaic's
-        # stack allocator) and ~5 + n_out live [B, cap, C] arrays (the
-        # virial variant holds 10 output accumulations live). Measured
-        # at 64k/cap 32 slim (n_out=3): B=24 runs 7% faster than B=8;
-        # B=16 and B=32 are both slower.
-        pad8 = -(-cap // 8) * 8
-        pad128 = -(-C // 128) * 128
-        target = 14 * 1024 * 1024 // ((5 + n_out) * pad8 * pad128 * 4)
-        block_cells = max(8, (target // 8) * 8)
+        # small blocks make the occupancy predicate tight: the row
+        # groups run up to the max occupancy OF THE BLOCK, and the max
+        # over 8 cells sits well below the max over 24 (measured at the
+        # honest 64k fluid, kbench14: B=8 beats both B=16 and B=24, and
+        # beats the unpredicated B=24 form by 1.16x). The per-group
+        # working set [B, 8, C] is far under the VMEM limit at this
+        # size.
+        block_cells = 8
     if lane_dtype is not None and jnp.dtype(lane_dtype).itemsize < 4:
         # bf16 tiles are (16, 128): the out block's sublane dim (B) must
         # be a multiple of 16
         block_cells = max(16, (int(block_cells) // 16) * 16)
     B = int(block_cells)
     n_pad = -(-n_cells // B) * B
+    occ = valid.reshape(n_cells, cap).sum(axis=1).astype(jnp.int32)
+    occ = jnp.pad(occ, (0, n_pad - n_cells))[:, None]
     if n_pad != n_cells:
         inputs = [jnp.pad(a, ((0, n_pad - n_cells), (0, 0)), mode="edge")
                   for a in inputs]
@@ -206,12 +231,28 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
     # in-kernel block shapes so eval_jaxpr replays it verbatim.
     from jax._src import core as _jcore
     sds = lambda s: jax.ShapeDtypeStruct(s, out_dtype)
-    pair_args = ([sds((B, cap, C)), sds((B, cap, 1)), sds((B, 1, C))]
-                 if with_types else [sds((B, cap, C))])
-    closed = jax.make_jaxpr(pair_fn)(*pair_args)
+    # the kernel evaluates pair_fn per 8-row group (plus a narrower tail
+    # when cap % 8): one shape-specialized jaxpr per distinct width.
+    # make_jaxpr of the same closure is deterministic, so the hoisted
+    # consts line up across widths (asserted).
+    widths = sorted({min(cap, (g + 1) * 8) - g * 8
+                     for g in range(-(-cap // 8))})
+
+    def trace(w):
+        pair_args = ([sds((B, w, C)), sds((B, w, 1)), sds((B, 1, C))]
+                     if with_types else [sds((B, w, C))])
+        return jax.make_jaxpr(pair_fn)(*pair_args)
+
+    closed_by_w = {w: trace(w) for w in widths}
+    closed0 = closed_by_w[widths[0]]
+    for cl in closed_by_w.values():
+        assert len(cl.consts) == len(closed0.consts) and \
+            all(np.shape(a) == np.shape(b)
+                for a, b in zip(cl.consts, closed0.consts)), \
+            "pair_fn closure consts differ across trace widths"
     small = []                  # whole-array-per-grid-step operands
     const_shapes = []
-    for c in closed.consts:
+    for c in closed0.consts:
         c = jnp.asarray(c)
         const_shapes.append(c.shape)
         small.append(c if c.ndim >= 2 else c.reshape(1, max(c.size, 1)))
@@ -219,8 +260,9 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
         small = [c.astype(out_dtype) if jnp.issubdtype(c.dtype, jnp.floating)
                  else c for c in small]
 
-    def pair_eval(consts, *args):
-        return tuple(_jcore.eval_jaxpr(closed.jaxpr, consts, *args))
+    def pair_eval(consts, r2, *args):
+        jaxpr = closed_by_w[r2.shape[1]].jaxpr
+        return tuple(_jcore.eval_jaxpr(jaxpr, consts, r2, *args))
 
     rc2 = float(plan.r_cut) ** 2
     kernel = functools.partial(
@@ -229,17 +271,20 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
         cap, n_blocks,
         float(rc2), float(min_r2), needs_virial, needs_energy)
 
+    from jax.experimental.pallas import tpu as pltpu
     spec = pl.BlockSpec((B, C), lambda i: (i, 0))
+    occ_spec = pl.BlockSpec((B, 1), lambda i: (i, 0),
+                            memory_space=pltpu.SMEM)
     small_specs = [pl.BlockSpec(s.shape, (lambda i, nd=s.ndim: (0,) * nd))
                    for s in small]
     outs = pl.pallas_call(
         kernel,
         grid=(n_pad // B,),
-        in_specs=[spec] * len(inputs) + small_specs,
+        in_specs=[occ_spec] + [spec] * len(inputs) + small_specs,
         out_specs=[spec] * n_out,
         out_shape=[jax.ShapeDtypeStruct((n_pad, C), out_dtype)] * n_out,
         interpret=interpret,
-    )(*inputs, *small)
+    )(occ, *inputs, *small)
 
     def assemble(out):
         acc = out[:n_cells, :cap].astype(dtype)

@@ -106,6 +106,37 @@ class TestPlan:
         fine_cap = occ_max + max(3, int(np.ceil(0.15 * occ_max)))
         assert work <= 8 ** 3 * pad(fine_cap, 8) * pad(27 * fine_cap, 128)
 
+    def test_snap_free_capacity(self):
+        """Snapping stays within the SAME padded tile pair -- the extra
+        slots execute for free on the (8, 128)-tiled hot arrays."""
+        pad = cw._pad_to
+        for wb in (14, 27):
+            for cap in range(4, 60):
+                snapped = cw._snap_free_capacity(cap, wb)
+                assert snapped >= cap
+                assert pad(snapped, 8) == pad(cap, 8)
+                assert pad(wb * snapped, 128) == pad(wb * cap, 128)
+                # maximality: one more slot would change a tile
+                bigger = snapped + 1
+                assert (pad(bigger, 8) != pad(cap, 8) or
+                        pad(wb * bigger, 128) != pad(wb * cap, 128))
+
+    def test_occ_observed_tightens_capacity(self):
+        """A measured running max well below the statistical estimate
+        shrinks the planned capacity (and never below the observation)."""
+        rng = np.random.RandomState(1)
+        pos = rng.uniform(-12, 12, size=(4096, 3)).astype(np.float32)
+        blind = cw.plan_cellwise(4096, [24.0] * 3, 3.0, positions=pos)
+        occ_max, _, _ = cw._measured_occupancy(
+            pos, [-12.0] * 3, [24.0] * 3, blind.grid)
+        cal = cw.plan_cellwise(4096, [24.0] * 3, 3.0, positions=pos,
+                               occ_observed=(blind.grid, occ_max))
+        assert cal.capacity <= blind.capacity
+        # on the same grid the calibrated capacity still covers the
+        # observation with margin
+        if cal.grid == blind.grid:
+            assert cal.capacity >= occ_max + 1
+
 
 class TestPlanesCorrectness:
     def test_planes_match_oracle(self):
@@ -282,8 +313,15 @@ class TestSimulationParity:
         tfc = htf.tfcompute(LJ(64))
         tfc.attach(cwse, r_cut=2.5,
                    nlist=htf.Cellwise(skin=0.3))
-        ref.run(25)
-        cwse.run(25)
+        # pin the static repack interval to 5 so the 15-step run crosses
+        # two MID-RUN rebuilds deterministically. Kept short
+        # deliberately: each rebuild reorders f32 summation
+        # (physics-neutral, oracle-checked in TestPlanesCorrectness),
+        # and LJ chaos amplifies that ~1e-7 seed by e^(lambda t) -- at
+        # 25 steps it already exceeds any meaningful tolerance.
+        cwse._choose_repack_interval = lambda layout: 5
+        ref.run(15)
+        cwse.run(15)
         assert_wrapped_close(cwse.state.positions, ref.state.positions,
                              htf.box_size(ref.state.box), atol=2e-3)
         np.testing.assert_allclose(np.asarray(cwse.state.velocities),

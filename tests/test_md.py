@@ -655,6 +655,68 @@ class TestViolentStarts:
         assert int(np.asarray(sim.state.step)) == 20
         assert np.all(np.isfinite(np.asarray(sim.state.positions)))
 
+    def test_stale_repack_interval_self_heals(self):
+        """The static repack schedule (rebuild every K steps, no per-step
+        cond) detects a particle outrunning skin/2 between scheduled
+        rebuilds, rolls the segment back, and re-runs with a halved
+        interval."""
+        class PairLJ(htf.PairModel):
+            def pair_energy(self, r2):
+                u = 1.0 / r2
+                sr6 = u * u * u
+                return 4.0 * (sr6 * sr6 - sr6)
+
+        sim = htf.Simulation(dt=0.005,
+                             integrator=htf.md.NVT(kT=1.5, tau=0.5),
+                             seed=5)
+        sim.init_lattice(512, density=0.4, kT_init=1.5)
+        # force an absurdly long interval: the kT=1.5 fluid must outrun
+        # skin/2 well before 128 steps
+        orig = sim._choose_repack_interval
+
+        def forced(layout):
+            k = orig(layout)
+            if k is None:
+                return None
+            # force the ESTIMATE to 128 but keep honoring the
+            # self-healing cap, like the real method does
+            cap = getattr(sim, "_static_K_cap", None)
+            return min(128, cap) if cap else 128
+
+        sim._choose_repack_interval = forced
+        with pytest.warns(UserWarning, match="staleness"):
+            sim_tfc = htf.tfcompute(PairLJ(32))
+            sim_tfc.attach(sim, r_cut=2.5, nlist="cellwise")
+            sim.run(120)
+        assert sim._static_K_cap < 128
+        assert int(np.asarray(sim.state.step)) == 120
+        assert np.all(np.isfinite(np.asarray(sim.state.positions)))
+
+    def test_occupancy_history_recorded(self):
+        """The scan carries the running max cell occupancy; run()
+        records it for replan() calibration and it matches (bounds) a
+        host-side occupancy measurement."""
+        class PairLJ(htf.PairModel):
+            def pair_energy(self, r2):
+                u = 1.0 / r2
+                sr6 = u * u * u
+                return 4.0 * (sr6 * sr6 - sr6)
+
+        sim = htf.Simulation(dt=0.005,
+                             integrator=htf.md.NVT(kT=1.2, tau=0.5),
+                             seed=6)
+        sim.init_lattice(512, density=0.4, kT_init=1.2)
+        tfc = htf.tfcompute(PairLJ(32))
+        tfc.attach(sim, r_cut=2.5, nlist="cellwise")
+        sim.run(40)
+        hist = sim._occ_hist
+        assert hist and hist[-1][2] == 40
+        grid = hist[-1][0][0]
+        assert grid == sim._layout.plan.grid
+        occ_now = sim._max_occupancy_now(sim._layout)
+        assert hist[-1][1] >= occ_now  # running max covers any snapshot
+        assert hist[-1][1] <= sim._layout.plan.capacity
+
     def test_builtin_only_md_runs(self):
         """Pure built-in MD without any attached model: the engine
         derives the neighbor config from the forces' own cutoffs

