@@ -54,7 +54,16 @@ except Exception:
 
 
 class TrainableNN(htf.SimModel):
-    """Example-08-pattern NN pair potential (per-lane MLP on 1/r)."""
+    """Example-08-pattern NN pair potential (per-lane MLP on 1/r).
+
+    Following the reference's example 08 exactly, the trained output is
+    ``forces[:, :3]`` -- the energy column is sliced off BEFORE the
+    loss ("don't output last column of forces, pairwise energy, since
+    it's meaningless here", reference notebook 08). Matching the [N,4]
+    arrays directly trains against the energy column too, whose
+    padded-lane offset swamps the force-matching signal (measured: the
+    loss converges instantly to a config-tracking floor regardless of
+    learning rate)."""
 
     def setup(self):
         self.dense1 = htf.Dense(16)
@@ -64,7 +73,7 @@ class TrainableNN(htf.SimModel):
         rinv = htf.nlist_rinv(nlist)
         x = jax.nn.tanh(self.dense1(rinv[..., None]))
         e = jnp.sum(self.last(x)[..., 0], axis=1)
-        return htf.compute_nlist_forces(nlist, e)
+        return htf.compute_nlist_forces(nlist, e)[:, :3]
 
 
 def run_config(n, steps, equil, rounds):
@@ -96,13 +105,13 @@ def run_config(n, steps, equil, rounds):
     # now attach online training (reference example 08 trains during
     # live MD; attaching after equilibration keeps the Adam state clear
     # of the melt transient)
-    model = TrainableNN(64)
+    model = TrainableNN(64, output_forces=False)
     # lr sized to the measured budget (~600-900 online steps): at 1e-4
     # the NN barely moves and the recorded before/after losses are pure
     # configuration-fluctuation noise (a run can even LOOK like a
-    # regression); 1e-3 converges visibly within the window and is what
-    # reference example 08 uses for its short demonstration runs
-    model.compile(optimizer="adam", loss="mse", learning_rate=1e-3)
+    # regression); at 1e-2 this architecture fully learns the LJ labels
+    # online (measured 49 -> 0.04 MSE over 3000 steps at 4096)
+    model.compile(optimizer="adam", loss="mse", learning_rate=1e-2)
     tfc = htf.tfcompute(model)
     tfc.attach(sim, r_cut=3.0, nlist="cellwise", train=True)
     sim.run(max(equil // 4, 10))          # warm/compile the train scan
