@@ -684,12 +684,15 @@ class Simulation:
                 occ = _cl.max_occupancy(
                     np.asarray(self.state.positions), lengths, grid)
                 capacity = max(capacity, int(np.ceil(occ * 1.3)) + 1)
+            capacity = max(capacity,
+                           getattr(self, "_cl_capacity_floor", 0))
 
             def build(state):
                 return direct_cell_planes(
                     state.positions4, r_cut, grid, capacity,
                     box_size(state.box), rcut_matrix=rc_matrix)
             build.plan = (grid, capacity)
+            self._last_cl_capacity = capacity
             return build
 
         want_cell = isinstance(method, _cl.CellList) or \
@@ -717,6 +720,10 @@ class Simulation:
                 occ = _cl.max_occupancy(
                     np.asarray(self.state.positions), lengths, grid)
                 capacity = max(capacity, int(np.ceil(occ * 1.3)) + 1)
+            # overflow self-heal floor beats even an explicit capacity
+            # on retry (matching the cellwise layout's behavior)
+            capacity = max(capacity,
+                           getattr(self, "_cl_capacity_floor", 0))
 
             static_lengths = tuple(float(v) for v in lengths)
 
@@ -727,6 +734,7 @@ class Simulation:
                     method=sel_method, static_lengths=static_lengths,
                     rcut_matrix=rc_matrix)
             build.plan = (grid, capacity)
+            self._last_cl_capacity = capacity
             return build
 
         def build(state):
@@ -1838,6 +1846,25 @@ class Simulation:
                 f"cell capacity {layout.plan.capacity} exceeded; "
                 f"replanning with capacity >= {floor} and re-running "
                 f"these {sum(segments)} steps from their start")
+            return False
+        if overflow_now and allow_retry and self.auto_replan and \
+                layout is None and \
+                getattr(self, "_last_cl_capacity", 0):
+            # the packed/direct cell builders size their capacity once
+            # from planning-time occupancy; the same rollback self-heal
+            # as the cellwise layout applies (HOOMD's cell list resizes
+            # itself on overflow)
+            import warnings
+            cap_used = self._last_cl_capacity
+            self._cl_capacity_floor = max(
+                getattr(self, "_cl_capacity_floor", 0),
+                int(np.ceil(cap_used * 1.3)) + 1)
+            self._scan_cache.clear()
+            warnings.warn(
+                f"cell capacity {cap_used} exceeded; rebuilding the "
+                f"neighbor plan with capacity >= "
+                f"{self._cl_capacity_floor} and re-running these "
+                f"{sum(segments)} steps from their start")
             return False
         if stale_now and not overflow_now and static_K and allow_retry:
             # a particle outran skin/2 between two scheduled rebuilds:

@@ -655,6 +655,32 @@ class TestViolentStarts:
         assert int(np.asarray(sim.state.step)) == 20
         assert np.all(np.isfinite(np.asarray(sim.state.positions)))
 
+    def test_packed_builder_overflow_self_heals(self):
+        """The packed cell builder ('cell'/'direct', used when the box
+        is too small for the cellwise layout) gets the same rollback
+        self-heal as the cellwise capacity: overflow -> roll back,
+        rebuild the plan with a raised capacity floor, re-run."""
+        from hoomd_tf_tpu.ops.cell_list import CellList
+
+        class PairLJ(htf.PairModel):
+            def pair_energy(self, r2):
+                u = 1.0 / r2
+                sr6 = u * u * u
+                return 4.0 * (sr6 * sr6 - sr6)
+
+        sim = htf.Simulation(dt=0.005,
+                             integrator=htf.md.NVT(kT=1.2, tau=0.5),
+                             seed=4)
+        sim.init_lattice(512, density=0.4, kT_init=1.2)
+        tfc = htf.tfcompute(PairLJ(48))
+        # absurdly undersized explicit capacity on the packed builder
+        tfc.attach(sim, r_cut=2.5, nlist=CellList(capacity=2))
+        with pytest.warns(UserWarning, match="capacity 2 exceeded"):
+            sim.run(20)
+        assert sim._cl_capacity_floor > 2
+        assert int(np.asarray(sim.state.step)) == 20
+        assert np.all(np.isfinite(np.asarray(sim.state.positions)))
+
     def test_stale_repack_interval_self_heals(self):
         """The static repack schedule (rebuild every K steps, no per-step
         cond) detects a particle outrunning skin/2 between scheduled
