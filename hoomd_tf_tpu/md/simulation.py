@@ -329,7 +329,10 @@ class Simulation:
                     _pad_to(wb * p.capacity, 128))
 
         cur, new = lanes(layout.plan), lanes(fresh)
-        if cur <= 1.2 * new:
+        # 1.1: the common one-sublane-tile capacity gap (e.g. cap 45 vs
+        # 40, pad8 48 vs 40) is EXACTLY 1.2x in lanes and is worth the
+        # one recompile; the throttle's exponential backoff bounds churn
+        if cur <= 1.1 * new:
             layout._replan_throttle = min(throttle * 2, 8000)
             return layout
         if not self.auto_replan:
@@ -371,10 +374,17 @@ class Simulation:
 
         tfc = self.tfc
         model = tfc.model
+        # in train mode the probe also serves models that emit
+        # forces[:, :3] as their trained output (reference example 08):
+        # validation compares the synthesized analytic forces to the
+        # model's own output, so a non-force output simply disqualifies
         if (isinstance(model, PairModel) or tfc.train or
                 not model.output_forces or n_extras != 0 or
                 tfc.batch_size or tfc.map_enabled or
                 _os.environ.get("HTF_LANE_FAST", "1") == "0"):
+            # train mode note: probing generic models for a synthesized
+            # train path was tried and measured SLOWER than the
+            # capture-replay route (see train_fast in _make_step)
             tfc._lane_fast_ok = False
             return
         key = (tfc.config_key, layout.plan, model._trace_version)
@@ -544,6 +554,13 @@ class Simulation:
         per = getattr(self.integrator, "max_disp", None)
         if not per:
             vmax = self._vmax_now()
+            # the scan carries the RUNNING max speed (md/slots.py
+            # aux['vmax']): the Maxwell tail over thousands of steps
+            # sits well above any run()-start snapshot, and an interval
+            # sized to the snapshot fires a staleness rollback of the
+            # whole segment
+            vmax = max([vmax] + [h[0] for h in
+                                 getattr(self, "_vmax_hist", [])])
             # zero velocities (cold start): any bound appears after the
             # first kick; start mid-grid and let self-healing correct
             per = self.dt * vmax if vmax > 0 else half / 16.0
@@ -576,7 +593,13 @@ class Simulation:
             self.mesh is None and jax.default_backend() == "tpu" and
             (tfc is None or (not tfc.train and not tfc.batch_size and
                              not tfc.map_enabled)) and
-            ((tfc is not None and isinstance(tfc.model, PairModel)) or
+            ((tfc is not None and
+              (isinstance(tfc.model, PairModel) or
+               # lane-fast-validated generic SimModels ride the same
+               # kernel; the flag is set by the run()-time probe, so
+               # the first plan may use width 27 and the auto-replan
+               # boundary re-judges with 14 once the probe has run
+               getattr(tfc, "_lane_fast_ok", False))) or
              (bool(self.forces) and all(hasattr(f, "pair_energy")
                                         for f in self.forces))))
 
@@ -1183,10 +1206,79 @@ class Simulation:
             extras = tuple(out[tfc.output_offset:])
             return loss, extras, new_vals, opt_state
 
-        def train_model(mv, opt_state, state, nlist, labels):
+        # analytic-route training: for a declared PairModel (possibly
+        # with trainable parameters -- the reference's example-06
+        # force-matching shape), the training forces come from the
+        # DIFFERENTIABLE XLA analytic forward using the model's
+        # pair_energy_and_slope; no capture-and-replay anywhere.
+        # Measured THROUGHPUT is parity with the generic route (~20
+        # train steps/s at 64k both ways): force-matching gradients
+        # need the mixed second derivative d2U/dr2.dtheta over the
+        # full 27-width candidate lanes on every route -- that, not the
+        # replay, is the cost. Generic lane-separable SimModels through
+        # the synthesized pair_fn measured SLOWER (54 vs 80 steps/s at
+        # 16k; the synthesis calls the model's internal per-lane
+        # autodiff, so the outer grad pays another order), and stay on
+        # the generic route.
+        train_fast = (train and layout is not None and
+                      not tfc.batch_size and not tfc.map_enabled and
+                      n_extras + tfc.output_offset == 1 and
+                      isinstance(model, PairModel))
+        train_fast_cols = 4
+
+        def train_fast_update(mv, opt_state, state, aux, labels):
+            """One optimizer step through the analytic forward."""
+            import optax
+            variables = model.variables
+            trainable_idx = tfc.trainable_idx
+
+            def loss_fn(params, mv):
+                vals = list(mv)
+                for i, p in zip(trainable_idx, params):
+                    vals[i] = p
+
+                def fn():
+                    geo_lo, geo_len = slot_geometry(state)
+                    pf, wt, mr2 = (model.pair_energy_and_slope,
+                                   model.pair_with_types,
+                                   model.min_r2)
+                    f4, _w = _cw.analytic_pair_forces(
+                        state.positions, state.types, aux["valid"],
+                        layout.plan, geo_lo, pf, needs_virial=False,
+                        min_r2=mr2, with_types=wt,
+                        rcut_matrix=layout.rc_matrix, stencil="full",
+                        lengths=geo_len,
+                        needs_energy=train_fast_cols == 4)
+                    out0 = f4[:, :train_fast_cols]
+                    return model.compute_loss([out0], labels), (out0,)
+
+                (loss_out, new_vals) = _functional(model, vals, fn)
+                loss, out = loss_out
+                return loss, (new_vals, out)
+
+            params = [mv[i] for i in trainable_idx]
+            (loss, (new_vals, out)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, mv)
+            updates, opt_state = tfc.optimizer.update(grads, opt_state,
+                                                      params)
+            params = optax.apply_updates(params, updates)
+            params = [variables[i].constraint(p)
+                      if variables[i].constraint else p
+                      for i, p in zip(trainable_idx, params)]
+            for j, i in enumerate(trainable_idx):
+                new_vals[i] = params[j]
+            # with output_offset 0 (single-loss models) the prediction
+            # doubles as the saved extra, exactly like the generic path
+            extras = tuple(out[tfc.output_offset:])
+            return loss, extras, new_vals, opt_state
+
+        def train_model(mv, opt_state, state, nlist, labels, aux=None):
             """One online training step (the reference's hoomd2tf branch,
             ``tensorflowcompute.py:346-370``), optionally per particle
             batch."""
+            if train_fast:
+                return train_fast_update(mv, opt_state, state, aux,
+                                         labels)
             if not batch_size:
                 return train_update(mv, opt_state,
                                     model_inputs(state, nlist), labels)
@@ -1270,7 +1362,9 @@ class Simulation:
                         model_forces = out[2]
                     if carry_mvir:
                         model_virial = out[3 if carry_mf else 2]
-                model_needs_planes = train or not pair_fast
+                model_needs_planes = (tfc is not None and
+                                      ((train and not train_fast) or
+                                       (not train and not pair_fast)))
                 builtins_need_planes = bool(self.forces) and \
                     not builtin_fast
                 if model_needs_planes or builtins_need_planes:
@@ -1343,14 +1437,15 @@ class Simulation:
                         subset=tfc.reference_forces or None)
                     if always_eval:
                         loss, extras, mv, opt_state = train_model(
-                            mv, opt_state, state, nlist, f_ref)
+                            mv, opt_state, state, nlist, f_ref, aux=aux)
                     else:
                         recompute = (state.step % period) == 0
 
                         def do_train(args):
                             mv, opt_state = args
                             l, ex, new_mv, new_opt = train_model(
-                                mv, opt_state, state, nlist, f_ref)
+                                mv, opt_state, state, nlist, f_ref,
+                                aux=aux)
                             return new_mv, new_opt, l, ex
 
                         def keep(args):
@@ -1616,8 +1711,10 @@ class Simulation:
         integ_id = id(self.integrator)
         if getattr(self, "_static_K_integ", None) != integ_id:
             # integrator swap (e.g. Minimize quench -> NVT production):
-            # the old regime's interval must not anchor the new one's
+            # the old regime's interval and speed history must not
+            # anchor the new one's
             self._static_K_last = None
+            self._vmax_hist = []
             self._static_K_integ = integ_id
         static_K = (self._choose_repack_interval(layout)
                     if layout is not None and not layout.dynamic_box
@@ -1826,6 +1923,17 @@ class Simulation:
                     sum(h[2] for h in hist[:-1]) > 2000:
                 hist.pop(0)
             self._occ_hist = hist
+            # running max speed, same windowing: feeds the static
+            # repack interval (the Maxwell tail over a whole run sits
+            # well above any snapshot; an undersized interval costs a
+            # staleness rollback of the whole segment)
+            vhist = getattr(self, "_vmax_hist", [])
+            vhist.append((float(np.asarray(aux["vmax"])),
+                          sum(segments)))
+            while len(vhist) > 1 and \
+                    sum(h[1] for h in vhist[:-1]) > 3000:
+                vhist.pop(0)
+            self._vmax_hist = vhist
         if overflow_now and allow_retry and self.auto_replan and \
                 layout is not None and not layout.dynamic_box:
             # roll back and self-heal (HOOMD's cell list resizes itself
@@ -1869,18 +1977,37 @@ class Simulation:
         if stale_now and not overflow_now and static_K and allow_retry:
             # a particle outran skin/2 between two scheduled rebuilds:
             # some force evaluations may have missed an incoming
-            # neighbor. Roll back (nothing committed) and re-run with a
-            # quartered repack interval (converges from any pathological
-            # overestimate within run()'s retry budget); the cap
-            # persists for this plan.
+            # neighbor. Roll back (nothing committed) and re-run one
+            # grid notch shorter -- but if this same segment keeps
+            # failing (pathological estimate), fall to quartering so
+            # the retry budget still converges. The cap DECAYS back up
+            # after consecutive clean runs (_static_K_clean below): one
+            # rare fast particle must not pin a short interval forever.
             import warnings
-            self._static_K_cap = max(1, static_K // 4)
+            notch = max([g for g in self._K_GRID if g < static_K],
+                        default=1)
+            prev_cap = getattr(self, "_static_K_cap", None)
+            self._static_K_cap = (max(1, static_K // 4)
+                                  if prev_cap == static_K else notch)
+            self._static_K_clean = 0
             warnings.warn(
                 f"Verlet staleness under the static repack schedule "
                 f"(interval {static_K}); re-running these "
                 f"{sum(segments)} steps with interval "
                 f"{self._static_K_cap}")
             return False
+        if static_K and not overflow_now and not stale_now and \
+                getattr(self, "_static_K_cap", None):
+            # decay the staleness cap back up: after two consecutive
+            # clean runs of substance, allow one grid notch more --
+            # costs at most one more rollback if it was still too long
+            self._static_K_clean = \
+                getattr(self, "_static_K_clean", 0) + 1
+            if self._static_K_clean >= 2 and sum(segments) >= 200:
+                self._static_K_cap = min(
+                    [g for g in self._K_GRID if g > self._static_K_cap],
+                    default=self._static_K_cap)
+                self._static_K_clean = 0
         if layout is not None:
             slot_vals = (state, aux, mf, mvir)
             to_unpack = ((mf,) if carry_mf else ()) + \

@@ -138,7 +138,15 @@ class SlotLayout:
                # every repack): calibrates replan() capacity against
                # what the fluid actually does, instead of the planner's
                # conservative fluctuation formula
-               "occ_max": occ}
+               "occ_max": occ,
+               # running max particle speed (updated at every repack):
+               # calibrates the static repack interval against the
+               # running tail -- a run()-start snapshot undersells the
+               # max over thousands of steps of a big system's Maxwell
+               # tail, and an underestimated interval costs a staleness
+               # rollback of the whole segment
+               "vmax": jnp.sqrt(jnp.max(jnp.sum(
+                   velocities * velocities, axis=-1)))}
         packed = tuple(put(e, jnp.zeros((), e.dtype)) for e in extra_rows)
         return slot_state, aux, packed
 
@@ -219,11 +227,13 @@ class SlotLayout:
         new_state = dataclasses.replace(
             slot_state, positions=positions, velocities=velocities,
             types=types, masses=masses)
+        vm = jnp.sqrt(jnp.max(jnp.sum(velocities * velocities, axis=-1)))
         new_aux = {"valid": valid, "orig": orig,
                    "ref": (self._frac(positions, lo, lengths, dtype)
                            if self.dynamic_box else positions),
                    "overflow": jnp.logical_or(aux["overflow"], overflow),
-                   "occ_max": jnp.maximum(aux.get("occ_max", occ), occ)}
+                   "occ_max": jnp.maximum(aux.get("occ_max", occ), occ),
+                   "vmax": jnp.maximum(aux.get("vmax", vm), vm)}
         packed = tuple(put(e, jnp.zeros((), e.dtype)) for e in extra_rows)
         return new_state, new_aux, packed
 

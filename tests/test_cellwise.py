@@ -463,6 +463,36 @@ class TestTraining:
         with pytest.raises(ValueError, match="mapped"):
             sim.run(2)
 
+    def test_pair_model_train_fast_converges(self):
+        """Trainable PairModel parameters learn through the analytic
+        training route (the differentiable XLA stencil; no
+        capture-replay anywhere) -- a mistuned epsilon recovers the
+        label potential's value."""
+        class TrainLJ(htf.PairModel):
+            def setup(self):
+                self.log_eps = self.add_weight(
+                    shape=(), initializer=float(np.log(0.5)))
+
+            def pair_energy(self, r2):
+                u = 1.0 / r2
+                sr6 = u * u * u
+                return (4.0 * jnp.exp(self.log_eps.value) *
+                        (sr6 * sr6 - sr6))
+
+        sim = fluid_sim(n=256, kT_init=1.0,
+                        integrator=htf.md.NVT(kT=1.0, tau=0.5))
+        lj = sim.add_force(htf.md.LennardJones(epsilon=1.0, sigma=1.0,
+                                               r_cut=2.5))
+        m = TrainLJ(32)
+        m.compile(optimizer="adam", loss="mse", learning_rate=5e-2)
+        tfc = htf.tfcompute(m)
+        tfc.attach(sim, r_cut=2.5, nlist="cellwise", train=True)
+        sim.run(80)
+        losses = np.asarray(tfc.loss_history)
+        eps = float(np.exp(np.asarray(m.log_eps.value)))
+        assert np.mean(losses[-10:]) < 0.25 * np.mean(losses[:10])
+        assert abs(eps - 1.0) < 0.15, eps
+
     def test_online_training_runs(self):
         """hoomd2tf (training) mode in cellwise: loss decreases while the
         built-in LJ drives the dynamics."""
