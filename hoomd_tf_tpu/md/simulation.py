@@ -1738,22 +1738,22 @@ class Simulation:
                     layout.plan if layout else None,
                     getattr(tfc, "_lane_fast_ok", False), integ_key)
 
-        # the scan carry rides the wire in SoA column form (_Cols) ONLY
-        # on the per-step-cond path: there the cond's buffer handling
-        # made AoS carries materialize in padded-tile layout (measured
-        # 584 -> 597). Under the cond-free static-repack nested scan the
-        # wire INVERTS -- the per-step re-split/re-stack blocks fusion
-        # across the outer scan boundary (measured 6.08 vs 1.88 ms/step
-        # at 64k, probes round 3) -- so that path carries plain arrays.
-        use_wire = not static_K
+        # the scan carry rides the wire in SoA column form (_Cols) at
+        # every boundary XLA would otherwise materialize in padded-tile
+        # layout ([n,3] pads its last dim to 128, the [n,3,3] virial to
+        # (8,128) tiles -- hundreds of MB per touch at 64k):
+        # - per-step-cond path: every inner iteration (the cond pins the
+        #   buffers; measured 584 -> 597 in round 3's first arc);
+        # - static-repack path: ONLY the outer (rebuild) boundaries.
+        #   Wiring its inner steps measured 3x SLOWER (6.08 vs 1.88
+        #   ms/step -- the re-split/re-stack blocks in-loop fusion), but
+        #   leaving the outer boundary bare cost ~7.5 ms per rebuild
+        #   (K-sweep probe: t(K) = 1.42 + 7.4/K at 64k).
         wire_rows = (layout.plan.n_slots if layout is not None
                      else self.state.n_particles)
 
         def w(c):
-            return _wire(c, wire_rows) if use_wire else c
-
-        def uw(c):
-            return _unwire(c) if use_wire else c
+            return _wire(c, wire_rows)
 
         def scan_for(length):
             cache_key = (length, static_K) + base_key
@@ -1769,7 +1769,7 @@ class Simulation:
                                        static_repack=bool(static_K))
 
                 def wire_step(c, x):
-                    c2, ys = step(uw(c), x)
+                    c2, ys = step(_unwire(c), x)
                     return w(c2), ys
 
                 if static_K and step.rebuild_carry is not None:
@@ -1781,15 +1781,13 @@ class Simulation:
                     # ~4x -- probes/kbench15-16)
                     base_rebuild = step.rebuild_carry
 
-                    def rebuild_w(c):
-                        return w(base_rebuild(uw(c)))
-
                     n_outer, rem = divmod(length, static_K)
 
                     def outer_body(c, x):
-                        c = rebuild_w(c)
-                        return jax.lax.scan(wire_step, c, None,
-                                            length=static_K)
+                        c2 = base_rebuild(_unwire(c))
+                        c2, ys = jax.lax.scan(step, c2, None,
+                                              length=static_K)
+                        return w(c2), ys
 
                     @jax.jit
                     def scan_n(carry):
@@ -1803,9 +1801,10 @@ class Simulation:
                                 ys)
                             ys_parts.append(ys)
                         if rem:
-                            carry = rebuild_w(carry)
-                            carry, ys2 = jax.lax.scan(
-                                wire_step, carry, None, length=rem)
+                            c2 = base_rebuild(_unwire(carry))
+                            c2, ys2 = jax.lax.scan(
+                                step, c2, None, length=rem)
+                            carry = w(c2)
                             ys_parts.append(ys2)
                         ys = (ys_parts[0] if len(ys_parts) == 1 else
                               jax.tree_util.tree_map(
@@ -1823,7 +1822,7 @@ class Simulation:
 
                     @jax.jit
                     def refresh_w(c):
-                        return w(base_refresh(uw(c)))
+                        return w(base_refresh(_unwire(c)))
                 else:
                     refresh_w = None
                 self._scan_cache[cache_key] = (scan_n, refresh_w)
@@ -1857,6 +1856,13 @@ class Simulation:
                     cached["layout"] is layout and \
                     cached["flags"] == (carry_mf, carry_mvir):
                 start_state, aux0, mf0, mvir0 = cached["vals"]
+                if "vmax" in aux0:
+                    # the carried running-max speed is a PER-RUN
+                    # statistic (its history is windowed); reusing the
+                    # previous run's ratchet would make the repack
+                    # interval shrink monotonically forever
+                    aux0 = {**aux0, "vmax": jnp.sqrt(jnp.max(jnp.sum(
+                        start_state.velocities ** 2, axis=-1)))}
             else:
                 to_pack = ((mf0,) if carry_mf else ()) + \
                     ((mvir0,) if carry_mvir else ())
@@ -1877,8 +1883,7 @@ class Simulation:
                     (start_state, mf0, mvir0), self.state.n_particles)
         carry = (start_state, aux0, mv, opt_state, mf0, mvir0,
                  jnp.asarray(0, jnp.int32))
-        if use_wire:
-            carry = _wire_jit(carry, wire_rows)
+        carry = _wire_jit(carry, wire_rows)
         start_step = int(np.asarray(self.state.step))
         seg_start = start_step
         log_entries = []
@@ -1903,7 +1908,7 @@ class Simulation:
             # post-run state bit-identical to an ungated loop
             carry = refresh(carry)
         state, aux, mv, opt_state, mf, mvir, flags = \
-            (_unwire_jit(carry) if use_wire else carry)
+            _unwire_jit(carry)
         flags_now = int(np.asarray(flags))
         overflow_now = bool(flags_now & 1)
         stale_now = bool(flags_now & 2)

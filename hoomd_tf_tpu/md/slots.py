@@ -36,6 +36,7 @@ cover the cutoff) is surfaced through the overflow flag.
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import cellwise as cw
@@ -203,8 +204,14 @@ class SlotLayout:
 
     # ------------------------------------------------------------------
     def rebuild(self, slot_state, aux, extra_rows=()):
-        """Repack the slot assignment from current positions (runs inside
-        ``lax.cond``; all static shapes)."""
+        """Repack the slot assignment from current positions (runs in
+        the engine's hot loop every K steps; all static shapes).
+
+        The permutation is applied as ONE block row-gather: column-by-
+        column dynamic gathers cost ~5 ms at 64k (TPU row gathers pay
+        per row), while a single ``[rows, 9]`` block moves all nine
+        state columns for ~1.4 ms (probes/kbench16). Integer columns
+        ride as bitcast f32 (exact round trip)."""
         plan = self.plan
         n_slots = plan.n_slots
         dtype = slot_state.positions.dtype
@@ -218,12 +225,32 @@ class SlotLayout:
         put = self._take(src, has)
 
         centers = self.centers(dtype, slot_state)
-        positions = put(slot_state.positions, centers)
-        velocities = put(slot_state.velocities, jnp.zeros((), dtype=dtype))
-        types = put(slot_state.types, jnp.zeros((), jnp.int32))
-        masses = put(slot_state.masses, jnp.ones((), dtype=dtype))
+        if dtype == jnp.float32:
+            f32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+            i32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+            blk = jnp.concatenate([
+                slot_state.positions, slot_state.velocities,
+                f32(aux["orig"])[:, None], slot_state.masses[:, None],
+                f32(slot_state.types)[:, None]], axis=1)
+            g = blk[jnp.clip(src, 0, n_slots - 1)]
+            has_c = has[:, None]
+            positions = jnp.where(has_c, g[:, :3], centers)
+            velocities = jnp.where(has_c, g[:, 3:6], 0.0)
+            orig = jnp.where(has, i32(g[:, 6]),
+                             jnp.asarray(self.n, jnp.int32))
+            masses = jnp.where(has, g[:, 7], jnp.ones((), dtype=dtype))
+            types = jnp.where(has, i32(g[:, 8]),
+                              jnp.zeros((), jnp.int32))
+        else:
+            # bitcast packing assumes 32-bit lanes; other dtypes take
+            # the per-column gathers
+            positions = put(slot_state.positions, centers)
+            velocities = put(slot_state.velocities,
+                             jnp.zeros((), dtype=dtype))
+            types = put(slot_state.types, jnp.zeros((), jnp.int32))
+            masses = put(slot_state.masses, jnp.ones((), dtype=dtype))
+            orig = put(aux["orig"], jnp.asarray(self.n, jnp.int32))
         valid = has.astype(dtype)
-        orig = put(aux["orig"], jnp.asarray(self.n, jnp.int32))
         new_state = dataclasses.replace(
             slot_state, positions=positions, velocities=velocities,
             types=types, masses=masses)
