@@ -158,12 +158,103 @@ def _kernel(pair_eval, const_shapes, with_types, rcut_matrix, cap, n_blocks,
                 dual(s * dy * dz, -1.0, -1.0, out_refs[oi + 8])
 
 
+def _kernel_row(pair_eval, const_shapes, with_types, rcut_matrix, cap,
+                n_blocks, rc2, min_r2, needs_virial, needs_energy, *refs):
+    """Rank-2 per-row variant of :func:`_kernel`: rows are processed one
+    at a time, so every op in the body is a 2-D ``[B, C]`` VPU op (cells
+    ride the sublane axis, candidates the lane axis).
+
+    Same lane count as the 8-row-group form, radically different Mosaic
+    lowering: the group form's rank-3 broadcasts (``[B,1,C] - [B,w,1]``)
+    lower to per-(row, group) lane-broadcast + masked tile dances, and
+    measured ~9x slower than this form at the production shapes
+    (probes/kbench17 -- the group form had itself beaten the
+    unpredicated full-stencil XLA form, so this is the third lowering of
+    the same physics to win a round). Per-row predication is also
+    strictly tighter than per-group: each ghost row is skipped
+    individually.
+    """
+    C = n_blocks * cap
+    occ_ref = refs[0]
+    gx_ref, gy_ref, gz_ref = refs[1:4]
+    i = 4
+    gt_ref = None
+    if with_types or rcut_matrix is not None:
+        gt_ref = refs[i]
+        i += 1
+    consts = []
+    for shp in const_shapes:
+        ref = refs[i]
+        i += 1
+        if shp == ():
+            consts.append(ref[0, 0])
+        elif len(shp) == 1:
+            consts.append(ref[:].reshape(shp))
+        else:
+            consts.append(ref[:])
+    out_refs = refs[i:]
+
+    gx, gy, gz = gx_ref[:], gy_ref[:], gz_ref[:]          # [B, C]
+    if gt_ref is not None:
+        gt = gt_ref[:]
+    B = gx.shape[0]
+    omax = occ_ref[0, 0]
+    for b in range(1, B):
+        omax = jnp.maximum(omax, occ_ref[b, 0])
+
+    for r in out_refs:
+        r[:] = jnp.zeros_like(r)
+
+    zero = jnp.zeros((), dtype=gx.dtype)
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    for row in range(cap):
+        @pl.when(row < omax)
+        def _(row=row):
+            dx = gx - gx[:, row:row + 1]                  # [B, C]
+            dy = gy - gy[:, row:row + 1]
+            dz = gz - gz[:, row:row + 1]
+            d2 = dx * dx + dy * dy + dz * dz
+            ok = (d2 <= rc2) & (col != row)
+            if gt_ref is not None:
+                ti = gt[:, row:row + 1]                   # [B, 1]
+            if rcut_matrix is not None:
+                from .nlist import pair_rc2
+                ok = ok & (d2 <= pair_rc2(ti, gt, rcut_matrix, d2.dtype))
+            r2 = jnp.maximum(d2, min_r2)
+            if with_types:
+                U, dU = pair_eval(consts, r2, ti, gt)
+            else:
+                U, dU = pair_eval(consts, r2)
+            s = jnp.where(ok, dU, zero)
+
+            def dual(prod, fwd_c, back_c, out_ref):
+                out_ref[:, row:row + 1] = fwd_c * jnp.sum(
+                    prod, axis=1, keepdims=True)
+                out_ref[:, cap:] = out_ref[:, cap:] + back_c * prod[:, cap:]
+
+            oi = 0
+            if needs_energy:
+                g_ = jnp.where(ok, U, zero)
+                dual(g_, 0.5, 0.5, out_refs[0])
+                oi = 1
+            dual(s * dx, 2.0, -2.0, out_refs[oi + 0])
+            dual(s * dy, 2.0, -2.0, out_refs[oi + 1])
+            dual(s * dz, 2.0, -2.0, out_refs[oi + 2])
+            if needs_virial:
+                dual(s * dx * dx, -1.0, -1.0, out_refs[oi + 3])
+                dual(s * dy * dy, -1.0, -1.0, out_refs[oi + 4])
+                dual(s * dz * dz, -1.0, -1.0, out_refs[oi + 5])
+                dual(s * dx * dy, -1.0, -1.0, out_refs[oi + 6])
+                dual(s * dx * dz, -1.0, -1.0, out_refs[oi + 7])
+                dual(s * dy * dz, -1.0, -1.0, out_refs[oi + 8])
+
+
 def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
                              needs_virial=False, min_r2=1e-4,
                              with_types=False, rcut_matrix=None,
                              lengths=None, block_cells=None,
                              needs_energy=True, interpret=False,
-                             lane_dtype=None):
+                             lane_dtype=None, row_form=True):
     """Drop-in equivalent of :func:`.cellwise.analytic_pair_forces`
     computed by the Pallas half-stencil kernel (same contract, same
     returns; see that docstring for the physics and masking rules).
@@ -182,6 +273,10 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
     """
     dtype = positions.dtype
     out_dtype = dtype if lane_dtype is None else jnp.dtype(lane_dtype)
+    if lane_dtype is not None:
+        # the reduced-precision path keeps the group form: rank-2 bf16
+        # per-row ops hit the same Mosaic crash as rank-3 (kbench17)
+        row_form = False
     n_cells, cap = plan.n_cells, plan.capacity
     offs_list = _HALF_OFFS
     n_blocks = len(offs_list)
@@ -231,16 +326,24 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
     # in-kernel block shapes so eval_jaxpr replays it verbatim.
     from jax._src import core as _jcore
     sds = lambda s: jax.ShapeDtypeStruct(s, out_dtype)
-    # the kernel evaluates pair_fn per 8-row group (plus a narrower tail
-    # when cap % 8): one shape-specialized jaxpr per distinct width.
-    # make_jaxpr of the same closure is deterministic, so the hoisted
-    # consts line up across widths (asserted).
-    widths = sorted({min(cap, (g + 1) * 8) - g * 8
-                     for g in range(-(-cap // 8))})
+    # the group kernel evaluates pair_fn per 8-row group (plus a narrower
+    # tail when cap % 8): one shape-specialized jaxpr per distinct width.
+    # The row kernel evaluates per row: one rank-2 [B, C] jaxpr, keyed by
+    # width C. make_jaxpr of the same closure is deterministic, so the
+    # hoisted consts line up across widths (asserted).
+    if row_form:
+        widths = [C]
+    else:
+        widths = sorted({min(cap, (g + 1) * 8) - g * 8
+                         for g in range(-(-cap // 8))})
 
     def trace(w):
-        pair_args = ([sds((B, w, C)), sds((B, w, 1)), sds((B, 1, C))]
-                     if with_types else [sds((B, w, C))])
+        if row_form:
+            pair_args = ([sds((B, C)), sds((B, 1)), sds((B, C))]
+                         if with_types else [sds((B, C))])
+        else:
+            pair_args = ([sds((B, w, C)), sds((B, w, 1)), sds((B, 1, C))]
+                         if with_types else [sds((B, w, C))])
         return jax.make_jaxpr(pair_fn)(*pair_args)
 
     closed_by_w = {w: trace(w) for w in widths}
@@ -266,7 +369,8 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
 
     rc2 = float(plan.r_cut) ** 2
     kernel = functools.partial(
-        _kernel, pair_eval, const_shapes, with_types,
+        _kernel_row if row_form else _kernel,
+        pair_eval, const_shapes, with_types,
         None if rcut_matrix is None else np.asarray(rcut_matrix),
         cap, n_blocks,
         float(rc2), float(min_r2), needs_virial, needs_energy)
