@@ -546,8 +546,21 @@ class Simulation:
         and the rebuild lands one pre_force drift before the first force
         that uses it). Staleness is still checked every step and
         self-heals by halving K (run()). Returns None (use the per-step
-        lax.cond) when no displacement bound is derivable."""
+        lax.cond) when no displacement bound is derivable.
+
+        Dynamic-box (NPT) layouts take the same schedule: the skin is
+        measured from the LIVE box at the run() boundary (one tiny [3,3]
+        readback) with half the margin -- the barostat drifts the box
+        during the segment, eroding the absolute skin in a way no
+        boundary snapshot can bound. The per-step staleness bit plus the
+        rollback self-heal (halve K, re-run) make an optimistic interval
+        safe: forces are never computed from a stale assignment past
+        skin/2."""
         skin = float(layout.plan.skin)
+        if layout.dynamic_box:
+            lengths = np.asarray(box_size(self.state.box), dtype=float)
+            edges = lengths / np.asarray(layout.plan.grid, dtype=float)
+            skin = (float(np.min(edges)) - float(layout.plan.r_cut)) * 0.5
         if skin <= 0:
             return None
         half = 0.98 * skin / 2.0
@@ -1717,8 +1730,7 @@ class Simulation:
             self._vmax_hist = []
             self._static_K_integ = integ_id
         static_K = (self._choose_repack_interval(layout)
-                    if layout is not None and not layout.dynamic_box
-                    else None)
+                    if layout is not None else None)
 
         block = int(self.scan_block) if self.scan_block else n
         segments = [block] * (n // block)
@@ -1912,8 +1924,7 @@ class Simulation:
         flags_now = int(np.asarray(flags))
         overflow_now = bool(flags_now & 1)
         stale_now = bool(flags_now & 2)
-        if layout is not None and not layout.dynamic_box and \
-                "occ_max" in aux:
+        if layout is not None and "occ_max" in aux:
             # measured running max cell occupancy (carried through every
             # repack for free): feeds replan() capacity calibration
             # (ops/cellwise.plan_cellwise occ_observed). Windowed so a

@@ -254,7 +254,7 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
                              with_types=False, rcut_matrix=None,
                              lengths=None, block_cells=None,
                              needs_energy=True, interpret=False,
-                             lane_dtype=None, row_form=True):
+                             lane_dtype=None, row_form=None):
     """Drop-in equivalent of :func:`.cellwise.analytic_pair_forces`
     computed by the Pallas half-stencil kernel (same contract, same
     returns; see that docstring for the physics and masking rules).
@@ -273,6 +273,16 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
     """
     dtype = positions.dtype
     out_dtype = dtype if lane_dtype is None else jnp.dtype(lane_dtype)
+    if row_form is None:
+        # default: the 8-row-group form. The rank-2 per-row variant
+        # measured ~9x faster in a STANDALONE scan probe (kbench17/18)
+        # but 2x SLOWER inside the production engine step (560 -> 275
+        # steps/s at 64k -- the per-row read-modify-write of the back
+        # slab serializes against the surrounding fusion in a way the
+        # standalone probe never sees). Same lesson as every layout
+        # trick in docs/performance.md: re-measure END TO END.
+        import os
+        row_form = os.environ.get("HTF_PALLAS_ROW_FORM", "0") == "1"
     if lane_dtype is not None:
         # the reduced-precision path keeps the group form: rank-2 bf16
         # per-row ops hit the same Mosaic crash as rank-3 (kbench17)

@@ -247,16 +247,22 @@ class TestPlanesCorrectness:
                     plan, layout.lo, lj)
             kw = dict(needs_virial=True, with_types=True,
                       rcut_matrix=rc_matrix)
-            f_pl, w_pl = cw.analytic_pair_forces(
-                *args, stencil="pallas", **kw)
             f_ref, w_ref = cw.analytic_pair_forces(
                 *args, stencil="full", **kw)
-            np.testing.assert_allclose(np.asarray(f_pl),
-                                       np.asarray(f_ref),
-                                       rtol=1e-4, atol=1e-4)
-            np.testing.assert_allclose(np.asarray(w_pl),
-                                       np.asarray(w_ref),
-                                       rtol=1e-4, atol=1e-4)
+            # both kernel lowerings (8-row-group and rank-2 per-row)
+            # must agree with the XLA oracle -- the engine picks by
+            # measurement (HTF_PALLAS_ROW_FORM), not by physics
+            from hoomd_tf_tpu.ops.cellwise_pallas import \
+                half_stencil_pair_forces
+            for row_form in (False, True):
+                f_pl, w_pl = half_stencil_pair_forces(
+                    *args, interpret=True, row_form=row_form, **kw)
+                np.testing.assert_allclose(np.asarray(f_pl),
+                                           np.asarray(f_ref),
+                                           rtol=1e-4, atol=1e-4)
+                np.testing.assert_allclose(np.asarray(w_pl),
+                                           np.asarray(w_ref),
+                                           rtol=1e-4, atol=1e-4)
 
     def test_pack_unpack_roundtrip(self):
         n = 128
