@@ -113,7 +113,7 @@ def main():
     sim = make_sim(steps=steps)
     layout = sim._layout
     plan = layout.plan
-    print(f"plan: grid={plan.dims} cap={plan.capacity} "
+    print(f"plan: grid={plan.grid} cap={plan.capacity} "
           f"n_slots={plan.n_slots} skin={plan.skin:.3f}")
 
     # (a) production number at engine-chosen K

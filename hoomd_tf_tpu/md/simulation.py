@@ -579,6 +579,15 @@ class Simulation:
             per = self.dt * vmax if vmax > 0 else half / 16.0
         K_est = max(int(half / float(per) * 0.8), 1)
         K = max(g for g in self._K_GRID if g <= K_est)
+        if layout.dynamic_box and K == 1:
+            # a compressed live box (min(edge) near r_cut) leaves no
+            # skin to amortize: the static schedule at K=1 rebuilds
+            # every step like the per-step cond, but additionally turns
+            # any one-step drift past half-skin into a whole-segment
+            # rollback (and, after retries, a hard error) in a regime
+            # the cond path handles by just rebuilding. Fall back.
+            self._static_K_last = None
+            return None
         # hysteresis: per-run velocity jitter flapping K across a grid
         # boundary mints a fresh compiled scan per run() call (~30 s
         # through the tunnel). Keep the previous K while it is still on
@@ -1924,32 +1933,6 @@ class Simulation:
         flags_now = int(np.asarray(flags))
         overflow_now = bool(flags_now & 1)
         stale_now = bool(flags_now & 2)
-        if layout is not None and "occ_max" in aux:
-            # measured running max cell occupancy (carried through every
-            # repack for free): feeds replan() capacity calibration
-            # (ops/cellwise.plan_cellwise occ_observed). Windowed so a
-            # cold-start transient (the melt) ages out of the statistic.
-            okey = (layout.plan.grid, layout.plan.lengths,
-                    self.state.n_particles)
-            hist = [h for h in getattr(self, "_occ_hist", [])
-                    if h[0] == okey]
-            hist.append((okey, int(np.asarray(aux["occ_max"])),
-                         sum(segments)))
-            while len(hist) > 1 and \
-                    sum(h[2] for h in hist[:-1]) > 2000:
-                hist.pop(0)
-            self._occ_hist = hist
-            # running max speed, same windowing: feeds the static
-            # repack interval (the Maxwell tail over a whole run sits
-            # well above any snapshot; an undersized interval costs a
-            # staleness rollback of the whole segment)
-            vhist = getattr(self, "_vmax_hist", [])
-            vhist.append((float(np.asarray(aux["vmax"])),
-                          sum(segments)))
-            while len(vhist) > 1 and \
-                    sum(h[1] for h in vhist[:-1]) > 3000:
-                vhist.pop(0)
-            self._vmax_hist = vhist
         if overflow_now and allow_retry and self.auto_replan and \
                 layout is not None and not layout.dynamic_box:
             # roll back and self-heal (HOOMD's cell list resizes itself
@@ -2024,6 +2007,36 @@ class Simulation:
                     [g for g in self._K_GRID if g > self._static_K_cap],
                     default=self._static_K_cap)
                 self._static_K_clean = 0
+        if layout is not None and "occ_max" in aux and \
+                not overflow_now and not stale_now:
+            # measured running max cell occupancy (carried through every
+            # repack for free): feeds replan() capacity calibration
+            # (ops/cellwise.plan_cellwise occ_observed). Windowed so a
+            # cold-start transient (the melt) ages out of the statistic.
+            # Recorded only for COMMITTED attempts -- statistics from a
+            # rolled-back stale/overflow run would key occupancy measured
+            # under a drifted live box to the static plan geometry.
+            okey = (layout.plan.grid, layout.plan.lengths,
+                    self.state.n_particles)
+            hist = [h for h in getattr(self, "_occ_hist", [])
+                    if h[0] == okey]
+            hist.append((okey, int(np.asarray(aux["occ_max"])),
+                         sum(segments)))
+            while len(hist) > 1 and \
+                    sum(h[2] for h in hist[:-1]) > 2000:
+                hist.pop(0)
+            self._occ_hist = hist
+            # running max speed, same windowing: feeds the static
+            # repack interval (the Maxwell tail over a whole run sits
+            # well above any snapshot; an undersized interval costs a
+            # staleness rollback of the whole segment)
+            vhist = getattr(self, "_vmax_hist", [])
+            vhist.append((float(np.asarray(aux["vmax"])),
+                          sum(segments)))
+            while len(vhist) > 1 and \
+                    sum(h[1] for h in vhist[:-1]) > 3000:
+                vhist.pop(0)
+            self._vmax_hist = vhist
         if layout is not None:
             slot_vals = (state, aux, mf, mvir)
             to_unpack = ((mf,) if carry_mf else ()) + \
