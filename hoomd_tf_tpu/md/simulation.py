@@ -377,14 +377,18 @@ class Simulation:
         # in train mode the probe also serves models that emit
         # forces[:, :3] as their trained output (reference example 08):
         # validation compares the synthesized analytic forces to the
-        # model's own output, so a non-force output simply disqualifies
-        if (isinstance(model, PairModel) or tfc.train or
-                not model.output_forces or n_extras != 0 or
+        # model's own output, so a non-force output simply disqualifies.
+        # A validated train-mode model rides the hand-written
+        # lane-contraction VJP (ops/pair_train.py) -- the synthesized
+        # route WITHOUT that VJP was measured SLOWER than capture-replay
+        # (third-order autodiff through the lane reductions); with it,
+        # the backward is one weighted lane pass.
+        train_ok = tfc.train and n_extras + tfc.output_offset == 1
+        eval_ok = (not tfc.train and model.output_forces and
+                   n_extras == 0)
+        if (isinstance(model, PairModel) or not (train_ok or eval_ok) or
                 tfc.batch_size or tfc.map_enabled or
                 _os.environ.get("HTF_LANE_FAST", "1") == "0"):
-            # train mode note: probing generic models for a synthesized
-            # train path was tried and measured SLOWER than the
-            # capture-replay route (see train_fast in _make_step)
             tfc._lane_fast_ok = False
             return
         key = (tfc.config_key, layout.plan, model._trace_version)
@@ -399,6 +403,17 @@ class Simulation:
         slot_state, aux, _ = layout.pack_jit(self.state)
         pair_fn = synthesize_pair_fn(model, slot_state.box)
         ok = validate_pair_fn(model, pair_fn, slot_state, aux, layout)
+        if ok:
+            # trained-output column count (3 for reference-example-08
+            # models emitting forces[:, :3], 4 with an energy column):
+            # the train fast path slices the analytic f4 to match.
+            # Abstract call only -- zero device compute.
+            out_sh = _eval_silent(
+                model,
+                [jax.eval_shape(lambda: layout.planes(slot_state, aux)),
+                 jax.eval_shape(lambda: slot_state.positions4),
+                 slot_state.box], train=False)
+            tfc._lane_fast_cols = min(int(out_sh[0].shape[-1]), 4)
         stencil = None
         if ok and jax.default_backend() == "tpu" and self.mesh is None:
             # the synthesized pair_fn runs the user's whole compute
@@ -1228,59 +1243,89 @@ class Simulation:
             extras = tuple(out[tfc.output_offset:])
             return loss, extras, new_vals, opt_state
 
-        # analytic-route training: for a declared PairModel (possibly
-        # with trainable parameters -- the reference's example-06
-        # force-matching shape), the training forces come from the
-        # DIFFERENTIABLE XLA analytic forward using the model's
-        # pair_energy_and_slope; no capture-and-replay anywhere.
-        # Measured THROUGHPUT is parity with the generic route (~20
-        # train steps/s at 64k both ways): force-matching gradients
-        # need the mixed second derivative d2U/dr2.dtheta over the
-        # full 27-width candidate lanes on every route -- that, not the
-        # replay, is the cost. Generic lane-separable SimModels through
-        # the synthesized pair_fn measured SLOWER (54 vs 80 steps/s at
-        # 16k; the synthesis calls the model's internal per-lane
-        # autodiff, so the outer grad pays another order), and stay on
-        # the generic route.
+        # analytic-route training: for a declared PairModel (the
+        # reference's example-06 force-matching shape) or a lane-fast-
+        # validated generic SimModel (example 08's NN pair potential),
+        # the training forces come from the analytic forward with the
+        # HAND-WRITTEN lane-contraction VJP (ops/pair_train.py): the
+        # parameter gradient is the loss cotangent contracted against
+        # dU'/dtheta in one weighted lane pass, so nothing about the
+        # stencil rolls or dual reductions is ever differentiated and
+        # the primal can run on the Pallas half-stencil kernel.
+        # History: plain autodiff through the analytic forward measured
+        # parity with capture-replay (~20 train-steps/s at 64k -- the
+        # mixed second derivative over the 27-wide lanes dominated both),
+        # and the synthesized route without the custom VJP was SLOWER
+        # (third-order autodiff). The custom VJP removes that wall.
         train_fast = (train and layout is not None and
                       not tfc.batch_size and not tfc.map_enabled and
                       n_extras + tfc.output_offset == 1 and
-                      isinstance(model, PairModel))
-        train_fast_cols = 4
+                      (isinstance(model, PairModel) or
+                       getattr(tfc, "_lane_fast_ok", False)))
+        train_is_pair_model = isinstance(model, PairModel)
+        train_fast_cols = (4 if train_is_pair_model
+                           else getattr(tfc, "_lane_fast_cols", 4))
+        train_fwd_stencil = stencil_choice
+        if train_fast and not train_is_pair_model:
+            train_fwd_stencil = (getattr(tfc, "_lane_fast_stencil", None)
+                                 or stencil_choice)
 
         def train_fast_update(mv, opt_state, state, aux, labels):
-            """One optimizer step through the analytic forward."""
+            """One optimizer step through the analytic forward with the
+            custom lane-contraction VJP."""
             import optax
+            from ..ops.pair_train import pair_train_forces
             variables = model.variables
             trainable_idx = tfc.trainable_idx
+            geo_lo, geo_len = slot_geometry(state)
 
-            def loss_fn(params, mv):
+            def rebind(params):
                 vals = list(mv)
                 for i, p in zip(trainable_idx, params):
                     vals[i] = p
+                return vals
 
+            if train_is_pair_model:
+                wt, mr2 = model.pair_with_types, model.min_r2
+
+                def pair_apply(params, r2, ti=None, tj=None):
+                    def fn():
+                        if wt:
+                            return model.pair_energy_and_slope(r2, ti, tj)
+                        return model.pair_energy_and_slope(r2)
+                    out, _ = _functional(model, rebind(params), fn)
+                    return out
+            else:
+                from ..ops.lane_fast import synthesize_pair_fn
+                wt, mr2 = True, 1e-4
+
+                def pair_apply(params, r2, ti, tj):
+                    out, _ = _functional(
+                        model, rebind(params),
+                        lambda: synthesize_pair_fn(
+                            model, state.box)(r2, ti, tj))
+                    return out
+
+            def loss_fn(params):
                 def fn():
-                    geo_lo, geo_len = slot_geometry(state)
-                    pf, wt, mr2 = (model.pair_energy_and_slope,
-                                   model.pair_with_types,
-                                   model.min_r2)
-                    f4, _w = _cw.analytic_pair_forces(
-                        state.positions, state.types, aux["valid"],
-                        layout.plan, geo_lo, pf, needs_virial=False,
-                        min_r2=mr2, with_types=wt,
-                        rcut_matrix=layout.rc_matrix, stencil="full",
+                    f4 = pair_train_forces(
+                        params, pair_apply, state.positions, state.types,
+                        aux["valid"], layout.plan, geo_lo, min_r2=mr2,
+                        with_types=wt, rcut_matrix=layout.rc_matrix,
                         lengths=geo_len,
-                        needs_energy=train_fast_cols == 4)
+                        needs_energy=train_fast_cols == 4,
+                        fwd_stencil=train_fwd_stencil)
                     out0 = f4[:, :train_fast_cols]
                     return model.compute_loss([out0], labels), (out0,)
 
-                (loss_out, new_vals) = _functional(model, vals, fn)
+                (loss_out, new_vals) = _functional(model, rebind(params),
+                                                   fn)
                 loss, out = loss_out
                 return loss, (new_vals, out)
 
             params = [mv[i] for i in trainable_idx]
             (loss, (new_vals, out)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, mv)
+                loss_fn, has_aux=True)(params)
             updates, opt_state = tfc.optimizer.update(grads, opt_state,
                                                       params)
             params = optax.apply_updates(params, updates)

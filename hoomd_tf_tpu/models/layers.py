@@ -59,8 +59,19 @@ class Dense(Layer):
         x = jnp.asarray(x, dtype=self.dtype)
         if self.kernel is None:
             self._build(x.shape[-1])
-        y = jnp.matmul(x, self.kernel.value,
-                       preferred_element_type=self.dtype)
+        k = self.kernel.value
+        in_dim, units = k.shape
+        if in_dim <= 8 or units <= 8:
+            # per-lane MLPs (NN pair potentials) apply Dense over a huge
+            # lane batch with a tiny feature axis; jnp.matmul there
+            # lowers to an MXU dot whose operand layouts materialize the
+            # [lanes, units] intermediates in HBM. Broadcast-multiply +
+            # reduce stays VPU-elementwise, which XLA fuses end-to-end
+            # through the surrounding lane math. Real widths keep the
+            # MXU matmul.
+            y = jnp.sum(x[..., :, None] * k, axis=-2)
+        else:
+            y = jnp.matmul(x, k, preferred_element_type=self.dtype)
         if self.use_bias:
             y = y + self.bias.value
         if self.activation is not None:
