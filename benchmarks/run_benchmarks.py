@@ -58,6 +58,29 @@ class LJPair(htf.PairModel):
                 -12.0 * (2.0 * sr6 - 1.0) * sr6 * u)
 
 
+class LJHalf(LJ):
+    """Half-strength model LJ for the combined-force protocol row."""
+
+    def compute(self, nlist, positions, box):
+        rinv = htf.nlist_rinv(nlist)
+        inv_r6 = rinv ** 6
+        energy = jnp.sum(0.5 * 4.0 / 2.0 * (inv_r6 ** 2 - inv_r6), axis=1)
+        return htf.compute_nlist_forces(nlist, energy)
+
+
+class LJPairHalf(htf.PairModel):
+    def pair_energy(self, r2):
+        u = 1.0 / r2
+        sr6 = u * u * u
+        return 2.0 * (sr6 * sr6 - sr6)
+
+    def pair_energy_and_slope(self, r2):
+        u = 1.0 / r2
+        sr6 = u * u * u
+        return (2.0 * (sr6 * sr6 - sr6),
+                -6.0 * (2.0 * sr6 - 1.0) * sr6 * u)
+
+
 class TrainableNN(htf.SimModel):
     """Online-learning flagship: small NN potential trained against
     built-in LJ labels every step (reference example 08 pattern)."""
@@ -77,7 +100,7 @@ class TrainableNN(htf.SimModel):
 
 def bench_config(n, nn, steps, equil, rounds, nlist_mode=None,
                  model="simmodel", train=False, label=None,
-                 lane_fast=True):
+                 lane_fast=True, combined_lj=False):
     import dataclasses
     # the lane-separability probe (ops/lane_fast) promotes separable
     # generic SimModels onto the analytic kernel; lane_fast=False pins
@@ -104,7 +127,17 @@ def bench_config(n, nn, steps, equil, rounds, nlist_mode=None,
         # the Adam state clear of the melt transient)
         sim.add_force(htf.md.LennardJones(r_cut=3.0))
     else:
-        cls = LJPair if model == "pair" else LJ
+        if combined_lj:
+            # the reference's benchmark protocol runs the TF model WITH
+            # hoomd.md.pair.lj simultaneously active
+            # (/root/reference/htf/test-py/benchmark.py:25-48): both
+            # force sources evaluated and summed every step. Half
+            # epsilon each keeps the combined fluid at the same state
+            # point as the single-force rows.
+            sim.add_force(htf.md.LennardJones(epsilon=0.5, r_cut=3.0))
+            cls = LJPairHalf if model == "pair" else LJHalf
+        else:
+            cls = LJPair if model == "pair" else LJ
         tfc = htf.tfcompute(cls(nn))
         tfc.attach(sim, r_cut=3.0, nlist=nlist_mode)
     sim.run(60)
@@ -131,7 +164,8 @@ def bench_config(n, nn, steps, equil, rounds, nlist_mode=None,
     result["temperature"] = float(th["temperature"])
     result.update({"n_particles": n, "nn": nn, "model": model,
                    "train": train, "nlist_mode": nlist_mode,
-                   "lane_fast": bool(lane_fast)})
+                   "lane_fast": bool(lane_fast),
+                   "combined_lj": bool(combined_lj)})
     if label:
         result["label"] = label
     return result
@@ -170,6 +204,15 @@ def main():
             dict(n=65536, nn=64, steps=500, equil=1000, rounds=3,
                  nlist_mode="cellwise", model="pair",
                  label="cellwise, PairModel analytic fast path"),
+            # the reference's benchmark PROTOCOL: SimModel + built-in
+            # LJ simultaneously active (test-py/benchmark.py:25-48),
+            # at its config scale and the flagship scale
+            dict(n=256, nn=64, steps=1000, equil=2000, rounds=3,
+                 combined_lj=True,
+                 label="combined model+builtin LJ (reference protocol)"),
+            dict(n=65536, nn=64, steps=500, equil=1000, rounds=3,
+                 nlist_mode="cellwise", combined_lj=True,
+                 label="combined model+builtin LJ (reference protocol)"),
             # online learning: NN potential trained on built-in LJ
             # labels every step (reference example 08 pattern)
             dict(n=16384, nn=64, steps=100, equil=200, rounds=2,

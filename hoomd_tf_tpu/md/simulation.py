@@ -155,11 +155,18 @@ class Simulation:
     # state initialization
     # ------------------------------------------------------------------
     def init_lattice(self, n, density=None, a=None, kind="sc", types=None,
-                     kT_init=None, masses=None):
-        """Place ``n`` particles on a lattice in a centered cubic box."""
+                     kT_init=None, masses=None, dtype=jnp.float32):
+        """Place ``n`` particles on a lattice in a centered cubic box.
+
+        :param dtype: state dtype -- ``float64`` runs the whole engine
+            in double precision (requires ``jax_enable_x64``), the
+            analog of attaching to a double-precision HOOMD build
+            (reference ``tensorflowcompute.py:166-168``).
+        """
         pos, lengths = lattice_positions(n, density=density, a=a, kind=kind)
         self.state = init_state(pos, lengths, types=types, masses=masses,
-                                kT_init=kT_init, seed=self.seed)
+                                kT_init=kT_init, seed=self.seed,
+                                dtype=dtype)
         self._post_init()
         return self.state
 
@@ -360,6 +367,51 @@ class Simulation:
         return {k: float(v) for k, v in _thermo.thermo(self.state).items()}
 
     # ------------------------------------------------------------------
+    def _probe_pair_stencil(self, layout):
+        """Mosaic-compilability probe for a declared PairModel's
+        ``pair_energy_and_slope``: simple closed-form potentials (LJ,
+        tabulated splines, ...) lower into the Pallas half-stencil
+        kernel, but anything that rank-upgrades the lanes (an MLP pair
+        energy broadcasting a hidden axis -> rank-4 blocks) is rejected
+        by Mosaic AT COMPILE TIME. Probe once per (config, plan, trace
+        version); on failure the engine keeps the XLA full-stencil
+        analytic route (``tfc._pair_fast_stencil = 'full'``) instead of
+        crashing the run. Mirrors the lane-fast probe's fallback."""
+        tfc = self.tfc
+        model = tfc.model
+        if jax.default_backend() != "tpu" or self.mesh is not None:
+            tfc._pair_fast_stencil = None
+            return
+        key = (tfc.config_key, layout.plan, model._trace_version)
+        cache = getattr(tfc, "_pair_stencil_cache", None)
+        if cache is not None and cache[0] == key:
+            tfc._pair_fast_stencil = cache[1]
+            return
+        from ..ops import cellwise as _cw
+        slot_state, aux, _ = layout.pack_jit(self.state)
+        if model.pair_with_types:
+            pair_fn = model.pair_energy_and_slope
+        else:
+            pair_fn = lambda r2, ti, tj: model.pair_energy_and_slope(r2)
+        stencil = None
+        try:
+            lo, lengths = layout._geom(slot_state)
+            jax.jit(lambda: _cw.analytic_pair_forces(
+                slot_state.positions, slot_state.types, aux["valid"],
+                layout.plan, lo, pair_fn, with_types=True,
+                min_r2=model.min_r2, rcut_matrix=layout.rc_matrix,
+                stencil="pallas", lengths=lengths)).lower().compile()
+        except Exception:
+            stencil = "full"
+        tfc._pair_fast_stencil = stencil
+        tfc._pair_stencil_cache = (key, stencil)
+        if stencil is not None:
+            self._scan_cache.clear()
+            # fallback to the XLA full stencil changes the planner's
+            # kernel width (27 vs 14): re-judge at the next boundary
+            self._replan_check_step = -1
+            layout._replan_throttle = 500
+
     def _probe_lane_fast(self, layout, n_extras):
         """Probe a generic :class:`..models.simmodel.SimModel` for
         lane-separability and cache the verdict on the driver
@@ -386,7 +438,11 @@ class Simulation:
         train_ok = tfc.train and n_extras + tfc.output_offset == 1
         eval_ok = (not tfc.train and model.output_forces and
                    n_extras == 0)
-        if (isinstance(model, PairModel) or not (train_ok or eval_ok) or
+        if isinstance(model, PairModel):
+            tfc._lane_fast_ok = False
+            self._probe_pair_stencil(layout)
+            return
+        if (not (train_ok or eval_ok) or
                 tfc.batch_size or tfc.map_enabled or
                 _os.environ.get("HTF_LANE_FAST", "1") == "0"):
             tfc._lane_fast_ok = False
@@ -437,6 +493,12 @@ class Simulation:
         tfc._lane_fast_cache = (key, ok)
         if ok:
             self._scan_cache.clear()
+            # the probe just changed the plan's cost picture (the
+            # per-lane cost scale, and possibly the kernel width): undo
+            # any replan-throttle backoff taken under the scale-1
+            # assumption so the NEXT run() boundary re-judges the plan
+            self._replan_check_step = -1
+            layout._replan_throttle = 500
 
     # ------------------------------------------------------------------
     # neighbor list
@@ -631,14 +693,63 @@ class Simulation:
             (tfc is None or (not tfc.train and not tfc.batch_size and
                              not tfc.map_enabled)) and
             ((tfc is not None and
-              (isinstance(tfc.model, PairModel) or
+              ((isinstance(tfc.model, PairModel) and
+                getattr(tfc, "_pair_fast_stencil", None) != "full") or
                # lane-fast-validated generic SimModels ride the same
                # kernel; the flag is set by the run()-time probe, so
                # the first plan may use width 27 and the auto-replan
-               # boundary re-judges with 14 once the probe has run
-               getattr(tfc, "_lane_fast_ok", False))) or
+               # boundary re-judges with 14 once the probe has run.
+               # Either probe may have found the model's pair function
+               # un-lowerable in Mosaic ('full' fallback) -- the hot
+               # loop is then the 27-block XLA form.
+               (getattr(tfc, "_lane_fast_ok", False) and
+                getattr(tfc, "_lane_fast_stencil", None) != "full"))) or
              (bool(self.forces) and all(hasattr(f, "pair_energy")
                                         for f in self.forces))))
+
+    def _model_lane_cost_scale(self):
+        """Relative per-lane cost of the hot pair evaluation vs the
+        built-in LJ the planner's ``_PAIR_LANE_COST`` was measured on
+        (~10 jaxpr primitives). Estimated by tracing the active fast
+        pair function and counting primitives -- crude, but the planner
+        only needs the ORDER of magnitude: an NN pair potential costs
+        10-40x an LJ lane, which flips the grid/repack tradeoff to
+        minimum-lane plans (see plan_cellwise lane_cost_scale)."""
+        tfc = self.tfc
+        if tfc is None or self.state is None:
+            return 1.0
+        from ..models.pair import PairModel
+        model = tfc.model
+        ver = getattr(model, "_trace_version", 0)
+        key = (ver, bool(getattr(tfc, "_lane_fast_ok", False)))
+        cached = getattr(tfc, "_lane_cost_scale_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        fn = None
+        if isinstance(model, PairModel):
+            if model.pair_with_types:
+                fn = lambda r2, t: model.pair_energy_and_slope(r2, t, t)
+            else:
+                fn = lambda r2, t: model.pair_energy_and_slope(r2)
+        elif getattr(tfc, "_lane_fast_ok", False):
+            from ..ops.lane_fast import synthesize_pair_fn
+            pf = synthesize_pair_fn(model, self.state.box)
+            fn = lambda r2, t: pf(r2, t, t)
+        scale = 1.0
+        if fn is not None:
+            try:
+                sds = jax.ShapeDtypeStruct((8, 8), jnp.float32)
+                jaxpr = jax.make_jaxpr(fn)(sds, sds)
+                scale = max(1.0, _count_jaxpr_eqns(jaxpr.jaxpr) / 10.0)
+            except Exception:
+                scale = 1.0
+            if tfc.train and scale > 1.0:
+                # a train step runs the pair function ~3x more than an
+                # eval step (loss forward + the lane-contraction VJP's
+                # forward and backward, ops/pair_train.py)
+                scale *= 3.0
+        tfc._lane_cost_scale_cache = (key, scale)
+        return scale
 
     def _plan_from_current(self):
         """A fresh cellwise plan from the *current* positions/velocities
@@ -685,7 +796,8 @@ class Simulation:
                        else np.asarray(self.state.positions)), lo=lo,
             drift_per_step=drift, z_divisor=z_div,
             width_blocks=14 if pallas_eligible else 27,
-            occ_observed=occ_observed)
+            occ_observed=occ_observed,
+            lane_cost_scale=self._model_lane_cost_scale())
         # overflow self-healing (run()): a prior capacity overflow sets
         # a floor that every later plan honors -- occupancy measured at
         # planning time can undersell the running fluid's fluctuations
@@ -994,10 +1106,17 @@ class Simulation:
             "auto" if self.mesh is None else "full")
         if self.mesh is not None:
             stencil_choice = "full"
-        if pair_fast and not isinstance(model, PairModel):
-            # lane-separable generic model: the probe may have found the
-            # synthesized pair_fn un-lowerable in Mosaic
-            stencil_choice = getattr(tfc, "_lane_fast_stencil", None) \
+        # the MODEL's pair function may be un-lowerable in Mosaic (the
+        # probes set a 'full' fallback) while the built-ins (simple
+        # closed forms) still ride the Pallas kernel -- so the model
+        # stencil is tracked separately from the built-ins' choice
+        model_stencil = stencil_choice
+        if tfc is not None and isinstance(model, PairModel):
+            model_stencil = getattr(tfc, "_pair_fast_stencil", None) \
+                or stencil_choice
+        elif pair_fast or (train and
+                           getattr(tfc, "_lane_fast_ok", False)):
+            model_stencil = getattr(tfc, "_lane_fast_stencil", None) \
                 or stencil_choice
 
         def model_inputs(state, nlist, with_labels=False, labels=None):
@@ -1205,7 +1324,7 @@ class Simulation:
                     min_r2=fast_min_r2,
                     with_types=fast_with_types,
                     rcut_matrix=layout.rc_matrix,
-                    stencil=stencil_choice, lengths=geo_len,
+                    stencil=model_stencil, lengths=geo_len,
                     needs_energy=needs_energy)
 
             (f4, w), new_mv = _functional(model, mv, run)
@@ -1265,10 +1384,7 @@ class Simulation:
         train_is_pair_model = isinstance(model, PairModel)
         train_fast_cols = (4 if train_is_pair_model
                            else getattr(tfc, "_lane_fast_cols", 4))
-        train_fwd_stencil = stencil_choice
-        if train_fast and not train_is_pair_model:
-            train_fwd_stencil = (getattr(tfc, "_lane_fast_stencil", None)
-                                 or stencil_choice)
+        train_fwd_stencil = model_stencil
 
         def train_fast_update(mv, opt_state, state, aux, labels):
             """One optimizer step through the analytic forward with the
@@ -1802,7 +1918,9 @@ class Simulation:
                     tfc.config_key if tfc else None,
                     len(self.forces), log, log_period,
                     layout.plan if layout else None,
-                    getattr(tfc, "_lane_fast_ok", False), integ_key)
+                    getattr(tfc, "_lane_fast_ok", False),
+                    getattr(tfc, "_lane_fast_stencil", None),
+                    getattr(tfc, "_pair_fast_stencil", None), integ_key)
 
         # the scan carry rides the wire in SoA column form (_Cols) at
         # every boundary XLA would otherwise materialize in padded-tile
@@ -2130,6 +2248,21 @@ class Simulation:
                 tfc.opt_state = opt_state
             tfc.check_overflow()
         return True
+
+
+def _count_jaxpr_eqns(jaxpr):
+    """Total primitive count including nested jaxprs (pjit bodies,
+    custom-call branches) -- the planner's per-lane cost proxy."""
+    n = 0
+    for eq in jaxpr.eqns:
+        n += 1
+        for v in eq.params.values():
+            inner = getattr(v, "jaxpr", None)
+            if inner is not None and hasattr(inner, "eqns"):
+                n += _count_jaxpr_eqns(inner)
+            elif hasattr(v, "eqns"):
+                n += _count_jaxpr_eqns(v)
+    return n
 
 
 def _functional(model, values, fn):

@@ -166,7 +166,8 @@ def _snap_free_capacity(cap, width_blocks):
 
 def plan_cellwise(n, box_lengths, r_cut, config=None, positions=None,
                   lo=None, drift_per_step=None, z_divisor=1,
-                  width_blocks=27, occ_observed=None):
+                  width_blocks=27, occ_observed=None,
+                  lane_cost_scale=1.0):
     """Choose ``(grid, capacity)`` minimizing amortized per-step cost.
 
     The fused pair loop costs ``27 * n_cells * capacity**2`` lanes;
@@ -203,6 +204,16 @@ def plan_cellwise(n, box_lengths, r_cut, config=None, positions=None,
         ``sqrt(mean_ratio)`` when the candidate grid differs), snapped up
         to the padded-tile boundary for free insurance. Overflow of a
         tighter plan is still detected at every repack and self-healed.
+    :param lane_cost_scale: relative per-lane cost of the hot pair
+        evaluation vs the built-in LJ that ``_PAIR_LANE_COST`` was
+        measured on. Expensive pair functions (per-lane NN potentials,
+        ~10-40x LJ; training passes, ~3x more) shift the lane-vs-repack
+        tradeoff decisively toward minimum-lane grids -- with the
+        default 1.0 the planner happily buys a 30% fatter lane count
+        for a 2x longer repack interval, which is exactly wrong when
+        each lane costs 35x the model constant (measured: the 16k NN
+        train plan chose 9^3/cap 48 = 49M padded lanes over 11^3/cap
+        32 = 38M, a ~1.3x tax on the dominant cost).
     :returns: a :class:`CellwisePlan`, or ``None`` if no valid grid (>= 3
         cells per axis) exists.
     """
@@ -275,7 +286,8 @@ def plan_cellwise(n, box_lengths, r_cut, config=None, positions=None,
         # what executes. (A grid whose raw cap*C is smaller can easily be
         # slower: e.g. cap 26 pads to 32 sublanes, a 23% hidden tax.)
         cost = (n_cells * _pad_to(cap, 8) *
-                _pad_to(width_blocks * cap, 128) * _PAIR_LANE_COST)
+                _pad_to(width_blocks * cap, 128) * _PAIR_LANE_COST *
+                lane_cost_scale)
         if drift_per_step and drift_per_step > 0:
             interval = max(1.0, (skin * 0.98 / 2.0) / drift_per_step)
             cost += n_cells * cap * _REPACK_SLOT_COST / interval
@@ -423,10 +435,11 @@ def _relative_coords(positions, valid, plan, lo, offs_list, lengths=None):
     cap = plan.capacity
     C = len(offs_list) * cap
     dynamic = lengths is not None
+    np_dtype = np.dtype(dtype)
     if dynamic:
         L3 = jnp.asarray(lengths, dtype=dtype)
         edges = L3 / jnp.asarray(plan.grid, dtype=dtype)
-        ioffs = np.asarray(offs_list, dtype=np.float32)  # [n_offs, 3]
+        ioffs = np.asarray(offs_list, dtype=np_dtype)    # [n_offs, 3]
         offs = jnp.asarray(ioffs) * edges[None, :]       # traced
         off_x = jnp.repeat(offs[:, 0], cap, total_repeat_length=C)
         off_y = jnp.repeat(offs[:, 1], cap, total_repeat_length=C)
@@ -438,7 +451,7 @@ def _relative_coords(positions, valid, plan, lo, offs_list, lengths=None):
         L3 = jnp.asarray(plan.lengths, dtype=dtype)
         ex, ey, ez = plan.edges
         noffs = np.array([(ox * ex, oy * ey, oz * ez)
-                          for (ox, oy, oz) in offs_list], dtype=np.float32)
+                          for (ox, oy, oz) in offs_list], dtype=np_dtype)
         off_x = jnp.asarray(np.repeat(noffs[:, 0], cap))
         off_y = jnp.asarray(np.repeat(noffs[:, 1], cap))
         off_z = jnp.asarray(np.repeat(noffs[:, 2], cap))

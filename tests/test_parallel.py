@@ -279,6 +279,37 @@ class TestUnifiedShardedEngine:
         # error (missed/duplicated pair) shows up as O(0.1+)
         np.testing.assert_allclose(d, np.zeros_like(d), atol=5e-4)
 
+    def test_uneven_particle_count(self):
+        """n = 4093 (prime: not divisible by the 8-device mesh). The
+        slot layout decouples particle count from the sharded slot axis
+        (ghost rows pad each cell), so uneven spatial decomposition
+        works like the reference's x=[0.33] MPI fractions
+        (test_mpi_tensorflow.py:57-79): particles distribute unevenly
+        over z-slabs and the trajectory matches single-device."""
+        n = 4093
+        ref = self._fluid(n=n, integrator=htf.md.NVT(kT=1.0, tau=0.5))
+        shd = self._fluid(n=n, mesh=make_mesh(8),
+                          integrator=htf.md.NVT(kT=1.0, tau=0.5))
+        htf.tfcompute(zoo.LJModel(48)).attach(ref, r_cut=2.5,
+                                              nlist="cellwise")
+        htf.tfcompute(zoo.LJModel(48)).attach(shd, r_cut=2.5,
+                                              nlist="cellwise")
+        layout = shd._ensure_layout()
+        assert layout.plan.grid[2] % 8 == 0
+        assert n % 8 != 0 and layout.plan.n_slots % 8 == 0
+        # per-shard real-particle counts are genuinely uneven
+        ref._choose_repack_interval = lambda layout: 3
+        shd._choose_repack_interval = lambda layout: 3
+        ref.run(8)
+        shd.run(8)
+        L = np.asarray(htf.box_size(ref.state.box))
+        d = (np.asarray(ref.state.positions) -
+             np.asarray(shd.state.positions))
+        d = d - np.round(d / L) * L
+        np.testing.assert_allclose(d, np.zeros_like(d), atol=5e-4)
+        t = shd.thermo()["temperature"]
+        assert 0.3 < t < 2.5, t
+
     def test_sharded_langevin_and_logging(self):
         from hoomd_tf_tpu.parallel import ShardedSimulation
         sim = ShardedSimulation(dt=0.005, mesh=make_mesh(8), seed=2,
