@@ -474,7 +474,7 @@ def _relative_coords(positions, valid, plan, lo, offs_list, lengths=None):
 def analytic_pair_forces(positions, types, valid, plan, lo, pair_fn,
                          needs_virial=False, min_r2=1e-4, with_types=False,
                          rcut_matrix=None, stencil="auto", lengths=None,
-                         needs_energy=True):
+                         needs_energy=True, mesh=None, shard_axis=None):
     """Forces/energy (and optionally virial) for a pair potential on
     slot-resident state, computed *analytically forward-only* -- the fast
     path behind :class:`..models.pair.PairModel`.
@@ -549,8 +549,9 @@ def analytic_pair_forces(positions, types, valid, plan, lo, pair_fn,
         SLOWER than 'full' at 64k: XLA cannot fuse the two reduction
         axes, see ops/cellwise_pallas.py -- kept for cross-checking), or
         ``'full'`` (27 blocks, both pair sides evaluated independently;
-        the fastest pure-XLA form and the one that partitions cleanly
-        under a device mesh).
+        the fastest pure-XLA form). Under a ``mesh`` both 'full' (via
+        sharding propagation) and 'pallas' (via a shard_map-wrapped
+        kernel, see ops/cellwise_pallas.py) partition over z-slabs.
     :param needs_energy: compute the per-particle energy (force column
         4). The hot loop passes False on all but logged/final steps --
         the energy-only lane math (and its dual reduction) is ~10% of
@@ -568,7 +569,8 @@ def analytic_pair_forces(positions, types, valid, plan, lo, pair_fn,
             needs_virial=needs_virial, min_r2=min_r2,
             with_types=with_types, rcut_matrix=rcut_matrix,
             lengths=lengths, needs_energy=needs_energy,
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu",
+            mesh=mesh, shard_axis=shard_axis)
     dtype = positions.dtype
     n_cells, cap = plan.n_cells, plan.capacity
     offs_list = _HALF_OFFS if stencil == "half" else _OFFS

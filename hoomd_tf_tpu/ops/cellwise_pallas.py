@@ -254,7 +254,8 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
                              with_types=False, rcut_matrix=None,
                              lengths=None, block_cells=None,
                              needs_energy=True, interpret=False,
-                             lane_dtype=None, row_form=None):
+                             lane_dtype=None, row_form=None,
+                             mesh=None, shard_axis=None):
     """Drop-in equivalent of :func:`.cellwise.analytic_pair_forces`
     computed by the Pallas half-stencil kernel (same contract, same
     returns; see that docstring for the physics and masking rules).
@@ -270,6 +271,20 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
         Opt-in only -- bf16 displacement cancellation costs ~1e-2
         relative force error through an r^-12 core (see
         docs/performance.md for the measured accuracy/speed tradeoff).
+    :param mesh: optional :class:`jax.sharding.Mesh`: run the kernel
+        SPMD over ``shard_axis``. The key observation making this a
+        small wrapper rather than a halo protocol: the kernel's grid
+        steps are *row-independent over cells* -- every cross-cell data
+        dependency (the 14 candidate gathers and the 13 Newton
+        back-pushes) lives in the XLA rolls outside the kernel
+        (``_relative_coords`` / ``_roll_back``), where sharding
+        propagation already turns the z-axis rolls into collective
+        permutes over ICI. The halo exchange therefore *happens in the
+        candidate planes themselves*; the ``pallas_call`` -- the one op
+        XLA cannot partition -- is wrapped in ``shard_map`` and simply
+        runs on each device's contiguous z-slab block of cells (the
+        cell order is z-major, so row sharding IS the spatial
+        decomposition; the MPI analog of SURVEY.md section 2.3).
     """
     dtype = positions.dtype
     out_dtype = dtype if lane_dtype is None else jnp.dtype(lane_dtype)
@@ -319,12 +334,7 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
         # be a multiple of 16
         block_cells = max(16, (int(block_cells) // 16) * 16)
     B = int(block_cells)
-    n_pad = -(-n_cells // B) * B
-    occ = valid.reshape(n_cells, cap).sum(axis=1).astype(jnp.int32)
-    occ = jnp.pad(occ, (0, n_pad - n_cells))[:, None]
-    if n_pad != n_cells:
-        inputs = [jnp.pad(a, ((0, n_pad - n_cells), (0, 0)), mode="edge")
-                  for a in inputs]
+    occ = valid.reshape(n_cells, cap).sum(axis=1).astype(jnp.int32)[:, None]
     if lane_dtype is not None:
         inputs = [a.astype(out_dtype) for a in inputs]
 
@@ -391,14 +401,46 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
                             memory_space=pltpu.SMEM)
     small_specs = [pl.BlockSpec(s.shape, (lambda i, nd=s.ndim: (0,) * nd))
                    for s in small]
-    outs = pl.pallas_call(
-        kernel,
-        grid=(n_pad // B,),
-        in_specs=[occ_spec] + [spec] * len(inputs) + small_specs,
-        out_specs=[spec] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((n_pad, C), out_dtype)] * n_out,
-        interpret=interpret,
-    )(occ, *inputs, *small)
+    n_in = len(inputs)
+
+    def _call(occ_l, *ops):
+        """Pad a (possibly per-shard) block of cells to a multiple of B
+        and run the kernel on it. Padded rows replicate the edge cell's
+        candidates; their row outputs are garbage but sliced off before
+        the roll-back, and they never appear as candidates (the planes
+        were gathered before padding)."""
+        ins_l, small_l = list(ops[:n_in]), ops[n_in:]
+        nloc = occ_l.shape[0]
+        npad = -(-nloc // B) * B
+        if npad != nloc:
+            occ_l = jnp.pad(occ_l, ((0, npad - nloc), (0, 0)))
+            ins_l = [jnp.pad(a, ((0, npad - nloc), (0, 0)), mode="edge")
+                     for a in ins_l]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(npad // B,),
+            in_specs=[occ_spec] + [spec] * n_in + small_specs,
+            out_specs=[spec] * n_out,
+            out_shape=[jax.ShapeDtypeStruct((npad, C), out_dtype)] * n_out,
+            interpret=interpret,
+        )(occ_l, *ins_l, *small_l)
+        return tuple(o[:nloc] for o in outs)
+
+    if mesh is None:
+        outs = _call(occ, *inputs, *small)
+    else:
+        from jax.sharding import PartitionSpec as P
+        ndev = mesh.shape[shard_axis]
+        if n_cells % ndev:
+            raise ValueError(
+                f"{n_cells} cells not divisible by the {ndev}-device "
+                f"mesh (the plan must keep nz divisible by the mesh)")
+        outs = jax.shard_map(
+            _call, mesh=mesh,
+            in_specs=(P(shard_axis),
+                      *([P(shard_axis)] * n_in), *([P()] * len(small))),
+            out_specs=(P(shard_axis),) * n_out,
+            check_vma=False)(occ, *inputs, *small)
 
     def assemble(out):
         acc = out[:n_cells, :cap].astype(dtype)

@@ -279,6 +279,41 @@ class TestUnifiedShardedEngine:
         # error (missed/duplicated pair) shows up as O(0.1+)
         np.testing.assert_allclose(d, np.zeros_like(d), atol=5e-4)
 
+    def test_sharded_pallas_stencil_matches_single_device(self):
+        """The Pallas half-stencil kernel runs SPMD under a mesh (a
+        shard_map-wrapped pallas_call on the z-slab cell sharding; the
+        halo exchange lives in the XLA candidate-plane rolls around it,
+        ops/cellwise_pallas.py) and reproduces the single-device
+        full-stencil trajectory. On this CPU mesh the kernel runs in
+        interpret mode; on TPU the same wrapper is the sharded fast
+        path (VERDICT r3 item 3)."""
+        import os
+        ref = self._fluid(integrator=htf.md.NVT(kT=1.0, tau=0.5))
+        shd = self._fluid(mesh=make_mesh(8),
+                          integrator=htf.md.NVT(kT=1.0, tau=0.5))
+        htf.tfcompute(zoo.PairLJ(48)).attach(ref, r_cut=2.5,
+                                             nlist="cellwise")
+        htf.tfcompute(zoo.PairLJ(48)).attach(shd, r_cut=2.5,
+                                             nlist="cellwise")
+        assert shd._ensure_layout().plan.grid[2] % 8 == 0
+        ref._choose_repack_interval = lambda layout: 3
+        shd._choose_repack_interval = lambda layout: 3
+        os.environ["HTF_CELLWISE_STENCIL"] = "pallas"
+        try:
+            shd.run(8)
+        finally:
+            del os.environ["HTF_CELLWISE_STENCIL"]
+        ref.run(8)
+        L = np.asarray(htf.box_size(ref.state.box))
+        d = (np.asarray(ref.state.positions) -
+             np.asarray(shd.state.positions))
+        d = d - np.round(d / L) * L
+        np.testing.assert_allclose(d, np.zeros_like(d), atol=5e-4)
+        # energy logging rides the same kernel (needs_energy lanes)
+        pe = shd.thermo()["potential_energy"]
+        pe_ref = ref.thermo()["potential_energy"]
+        assert abs(pe - pe_ref) < 1e-2 * abs(pe_ref)
+
     def test_uneven_particle_count(self):
         """n = 4093 (prime: not divisible by the 8-device mesh). The
         slot layout decouples particle count from the sharded slot axis

@@ -51,6 +51,15 @@ class LJModel(htf.SimModel):
         return htf.compute_nlist_forces(nlist, energy)
 
 
+class PairLJ(htf.PairModel):
+    """Declared pair potential: rides the analytic cellwise fast path."""
+
+    def pair_energy(self, r2):
+        u = 1.0 / r2
+        sr6 = u * u * u
+        return 4.0 * (sr6 * sr6 - sr6)
+
+
 class LJVirialModel(htf.SimModel):
     def compute(self, nlist, positions, box):
         rinv = htf.nlist_rinv(nlist)
