@@ -248,7 +248,7 @@ class Simulation:
         self._scan_cache.clear()
         self._static_K_cap = None   # staleness cap was per-plan (skin)
         self._static_K_last = None  # hysteresis anchor likewise
-        self._replan_check_step = int(np.asarray(self.state.step)) \
+        self._replan_check_step = self._host_step() \
             if self.state is not None else -1
         if self.tfc is not None:
             self.tfc._warmup_cache = None
@@ -287,7 +287,7 @@ class Simulation:
         measured as the dominant fixed cost of every run() call -- and
         the check is throttled with exponential backoff (500 steps
         doubling to 8000) while the plan keeps measuring tight."""
-        step = int(np.asarray(self.state.step))
+        step = self._host_step()
         if step < 100:
             return layout  # too early to judge (still equilibrating)
         throttle = getattr(layout, "_replan_throttle", 500)
@@ -379,7 +379,7 @@ class Simulation:
         crashing the run. Mirrors the lane-fast probe's fallback."""
         tfc = self.tfc
         model = tfc.model
-        if jax.default_backend() != "tpu" or self.mesh is not None:
+        if jax.default_backend() != "tpu":
             tfc._pair_fast_stencil = None
             return
         key = (tfc.config_key, layout.plan, model._trace_version)
@@ -400,7 +400,9 @@ class Simulation:
                 slot_state.positions, slot_state.types, aux["valid"],
                 layout.plan, lo, pair_fn, with_types=True,
                 min_r2=model.min_r2, rcut_matrix=layout.rc_matrix,
-                stencil="pallas", lengths=lengths)).lower().compile()
+                stencil="pallas", lengths=lengths,
+                mesh=self.mesh,
+                shard_axis=self.shard_axis)).lower().compile()
         except Exception:
             stencil = "full"
         tfc._pair_fast_stencil = stencil
@@ -471,7 +473,7 @@ class Simulation:
                  slot_state.box], train=False)
             tfc._lane_fast_cols = min(int(out_sh[0].shape[-1]), 4)
         stencil = None
-        if ok and jax.default_backend() == "tpu" and self.mesh is None:
+        if ok and jax.default_backend() == "tpu":
             # the synthesized pair_fn runs the user's whole compute
             # inside the Pallas half-stencil kernel; anything Mosaic
             # can't express (e.g. the probe's [B,cap,C]->flat shape
@@ -485,7 +487,8 @@ class Simulation:
                     slot_state.positions, slot_state.types, aux["valid"],
                     layout.plan, lo, pair_fn, with_types=True,
                     rcut_matrix=layout.rc_matrix, stencil="pallas",
-                    lengths=lengths)).lower().compile()
+                    lengths=lengths, mesh=self.mesh,
+                    shard_axis=self.shard_axis)).lower().compile()
             except Exception:
                 stencil = "full"
         tfc._lane_fast_ok = ok
@@ -526,7 +529,7 @@ class Simulation:
         if r <= 0.0:
             return None
         n = self.state.n_particles
-        vol = float(np.prod(np.asarray(box_size(self.state.box))))
+        vol = float(np.prod(self._box_geometry()[0]))
         mean_nbrs = 4.19 * r ** 3 * (n / vol)
         NN = int(min(n - 1, max(8, np.ceil(2.0 * mean_nbrs))))
         return (r, None, "auto", NN)
@@ -542,7 +545,7 @@ class Simulation:
             # built-in-only runs: slot-resident mode whenever the box
             # can host the grid (>= 3 cells per axis); small boxes fall
             # through to the dense builder below
-            lengths = np.asarray(box_size(self.state.box))
+            lengths = self._box_geometry()[0]
             return bool(np.all(lengths // r_cut >= 3))
         return method == "cellwise" or isinstance(method, Cellwise)
 
@@ -561,8 +564,7 @@ class Simulation:
         # (a barostat rescale is affine, so slot assignment is preserved
         # in fractional space -- see md/slots.py)
         dynamic = bool(getattr(self.integrator, "changes_box", False))
-        lengths = np.asarray(box_size(self.state.box))
-        lo = np.asarray(self.state.box[0])
+        lengths, lo = self._box_geometry()
         z_div = self.mesh.shape[self.shard_axis] if self.mesh else 1
         key = (float(r_cut),
                rc_matrix.tobytes() if rc_matrix is not None else None,
@@ -591,7 +593,17 @@ class Simulation:
         """Max particle speed, computed ON DEVICE with one scalar
         readback: shipping the whole velocity array to the host costs
         ~0.3 s per call through a remote-TPU tunnel (same lesson as
-        ``_max_occupancy_now``), and this runs at every run() start."""
+        ``_max_occupancy_now``), and this runs at every run() start.
+
+        Warm path: the previous run()'s carried running max (fetched in
+        the same packed readback as the overflow flags) is cached on the
+        state object it produced -- back-to-back runs skip even the
+        scalar round trip (~25 ms each through the tunnel). The running
+        max bounds the instantaneous max, so every consumer (repack
+        interval, planner drift term) errs conservative."""
+        c = getattr(self, "_vmax_cache", None)
+        if c is not None and c[0] is self.state:
+            return c[1]
         fn = getattr(self, "_vmax_fn", None)
         if fn is None:
             @jax.jit
@@ -600,7 +612,60 @@ class Simulation:
             self._vmax_fn = fn
         if self.state.velocities.size == 0:
             return 0.0
-        return float(np.asarray(fn(self.state.velocities)))
+        v = float(np.asarray(fn(self.state.velocities)))
+        self._vmax_cache = (self.state, v)
+        return v
+
+    def _box_geometry(self):
+        """``(lengths, lo)`` of the current box with at most ONE device
+        readback, cached on the box array's identity. run() re-points
+        the cache across static-box scans (the carried box is
+        value-identical), so warm back-to-back runs never fetch; a
+        barostat (or a user box replacement) makes a new array object
+        and re-fetches. Every separate ``np.asarray`` here is a full
+        round trip through a remote-TPU tunnel (~25 ms measured), and
+        geometry used to cost two of them per run() call."""
+        box = self.state.box
+        c = getattr(self, "_geom_cache", None)
+        if c is not None and c[0] is box:
+            return c[1], c[2]
+        b = np.asarray(box)
+        lengths, lo = b[1] - b[0], b[0]
+        self._geom_cache = (box, lengths, lo)
+        return lengths, lo
+
+    def _host_step(self):
+        """The current timestep as a host int without a device fetch on
+        the warm path: run() knows the committed step arithmetically
+        (start + steps run), so only a user-replaced state pays the
+        round trip."""
+        c = getattr(self, "_step_cache", None)
+        if c is not None and c[0] is self.state:
+            return c[1]
+        v = int(np.asarray(self.state.step))
+        self._step_cache = (self.state, v)
+        return v
+
+    def _fetch_run_scalars(self, flags, aux):
+        """One packed device->host readback for every run()-boundary
+        scalar: the overflow/staleness flags plus the carried running
+        max occupancy and speed. Fetching them separately costs one
+        tunnel round trip EACH (~25 ms); packed (vmax bitcast into the
+        int lane) they cost one."""
+        if aux is None or "occ_max" not in aux or "vmax" not in aux:
+            return int(np.asarray(flags)), None, None
+        fn = getattr(self, "_scalar_pack_fn", None)
+        if fn is None:
+            @jax.jit
+            def fn(flags, occ, vmax):
+                return jnp.stack([
+                    flags.astype(jnp.int32), occ.astype(jnp.int32),
+                    jax.lax.bitcast_convert_type(
+                        vmax.astype(jnp.float32), jnp.int32)])
+            self._scalar_pack_fn = fn
+        packed = np.asarray(fn(flags, aux["occ_max"], aux["vmax"]))
+        return (int(packed[0]), int(packed[1]),
+                float(packed[2:3].view(np.float32)[0]))
 
     def _drift_estimate(self):
         """Per-step displacement bound for the planner's repack-
@@ -635,7 +700,7 @@ class Simulation:
         skin/2."""
         skin = float(layout.plan.skin)
         if layout.dynamic_box:
-            lengths = np.asarray(box_size(self.state.box), dtype=float)
+            lengths = np.asarray(self._box_geometry()[0], dtype=float)
             edges = lengths / np.asarray(layout.plan.grid, dtype=float)
             skin = (float(np.min(edges)) - float(layout.plan.r_cut)) * 0.5
         if skin <= 0:
@@ -684,12 +749,13 @@ class Simulation:
 
     def _pallas_eligible(self):
         """Will the Newton half-stencil Pallas kernel be the hot loop?
-        (single-device TPU, analytic pair route -- the planner's cost
-        model then uses the kernel's 14-block candidate width)."""
+        (TPU analytic pair route -- single-device or shard_map-wrapped
+        under a mesh; the planner's cost model then uses the kernel's
+        14-block candidate width)."""
         from ..models.pair import PairModel
         tfc = self.tfc
         return (
-            self.mesh is None and jax.default_backend() == "tpu" and
+            jax.default_backend() == "tpu" and
             (tfc is None or (not tfc.train and not tfc.batch_size and
                              not tfc.map_enabled)) and
             ((tfc is not None and
@@ -757,8 +823,7 @@ class Simulation:
         from ..ops.cellwise import Cellwise, plan_cellwise
         tfc = self.tfc
         r_cut, _, method, _ = self._nlist_params()
-        lengths = np.asarray(box_size(self.state.box))
-        lo = np.asarray(self.state.box[0])
+        lengths, lo = self._box_geometry()
         z_div = self.mesh.shape[self.shard_axis] if self.mesh else 1
         config = method if isinstance(method, Cellwise) else None
         # typical per-step drift for the planner's repack-frequency term
@@ -830,7 +895,7 @@ class Simulation:
         # uniformly on every path (reference rcut() matrix,
         # tensorflowcompute.py:284-305)
         r_cut, rc_matrix, method, NN = params
-        lengths = np.asarray(box_size(self.state.box))
+        lengths = self._box_geometry()[0]
         n = self.state.n_particles
         if getattr(self.integrator, "changes_box", False) and \
                 method != "n2":
@@ -1096,16 +1161,15 @@ class Simulation:
         builtin_fast = (layout is not None and bool(self.forces) and
                         all(hasattr(f, "pair_energy")
                             for f in self.forces))
-        # a pallas_call does not partition under sharding propagation:
-        # meshed runs keep the full-stencil XLA form (which XLA turns
-        # into ring collectives over the z-rolls). HTF_CELLWISE_STENCIL
-        # overrides for single-device A/B measurements.
+        # a pallas_call does not partition under sharding propagation,
+        # but it doesn't need to: the kernel's grid steps are
+        # row-independent over cells (the halo lives in the XLA rolls
+        # around it), so under a mesh the call is shard_map-wrapped on
+        # the z-slab cell sharding (ops/cellwise_pallas.py) and meshed
+        # runs ride the SAME Pallas fast path as single-chip.
+        # HTF_CELLWISE_STENCIL overrides for A/B measurements.
         import os as _os
-        stencil_choice = _os.environ.get(
-            "HTF_CELLWISE_STENCIL",
-            "auto" if self.mesh is None else "full")
-        if self.mesh is not None:
-            stencil_choice = "full"
+        stencil_choice = _os.environ.get("HTF_CELLWISE_STENCIL", "auto")
         # the MODEL's pair function may be un-lowerable in Mosaic (the
         # probes set a 'full' fallback) while the built-ins (simple
         # closed forms) still ride the Pallas kernel -- so the model
@@ -1295,7 +1359,8 @@ class Simulation:
                         needs_virial=want_virial, with_types=True,
                         rcut_matrix=layout.rc_matrix,
                         stencil=stencil_choice, lengths=geo_len,
-                        needs_energy=needs_energy)
+                        needs_energy=needs_energy,
+                        mesh=self.mesh, shard_axis=self.shard_axis)
                     f = f + fi
                     if want_virial:
                         w = w + wi
@@ -1325,7 +1390,8 @@ class Simulation:
                     with_types=fast_with_types,
                     rcut_matrix=layout.rc_matrix,
                     stencil=model_stencil, lengths=geo_len,
-                    needs_energy=needs_energy)
+                    needs_energy=needs_energy,
+                    mesh=self.mesh, shard_axis=self.shard_axis)
 
             (f4, w), new_mv = _functional(model, mv, run)
             if w is None:
@@ -2068,7 +2134,8 @@ class Simulation:
         carry = (start_state, aux0, mv, opt_state, mf0, mvir0,
                  jnp.asarray(0, jnp.int32))
         carry = _wire_jit(carry, wire_rows)
-        start_step = int(np.asarray(self.state.step))
+        box_before = self.state.box
+        start_step = self._host_step()
         seg_start = start_step
         log_entries = []
         collect_buf = []
@@ -2093,7 +2160,8 @@ class Simulation:
             carry = refresh(carry)
         state, aux, mv, opt_state, mf, mvir, flags = \
             _unwire_jit(carry)
-        flags_now = int(np.asarray(flags))
+        flags_now, occ_max_now, vmax_now = self._fetch_run_scalars(
+            flags, aux if layout is not None else None)
         overflow_now = bool(flags_now & 1)
         stale_now = bool(flags_now & 2)
         if overflow_now and allow_retry and self.auto_replan and \
@@ -2170,7 +2238,7 @@ class Simulation:
                     [g for g in self._K_GRID if g > self._static_K_cap],
                     default=self._static_K_cap)
                 self._static_K_clean = 0
-        if layout is not None and "occ_max" in aux and \
+        if layout is not None and occ_max_now is not None and \
                 not overflow_now and not stale_now:
             # measured running max cell occupancy (carried through every
             # repack for free): feeds replan() capacity calibration
@@ -2183,8 +2251,7 @@ class Simulation:
                     self.state.n_particles)
             hist = [h for h in getattr(self, "_occ_hist", [])
                     if h[0] == okey]
-            hist.append((okey, int(np.asarray(aux["occ_max"])),
-                         sum(segments)))
+            hist.append((okey, occ_max_now, sum(segments)))
             while len(hist) > 1 and \
                     sum(h[2] for h in hist[:-1]) > 2000:
                 hist.pop(0)
@@ -2194,8 +2261,7 @@ class Simulation:
             # well above any snapshot; an undersized interval costs a
             # staleness rollback of the whole segment)
             vhist = getattr(self, "_vmax_hist", [])
-            vhist.append((float(np.asarray(aux["vmax"])),
-                          sum(segments)))
+            vhist.append((vmax_now, sum(segments)))
             while len(vhist) > 1 and \
                     sum(h[1] for h in vhist[:-1]) > 3000:
                 vhist.pop(0)
@@ -2210,6 +2276,17 @@ class Simulation:
             if carry_mvir:
                 mvir = unpacked[1]
         self.state = state
+        # warm-path host caches: the committed step is arithmetic, the
+        # running-max speed came in the packed flags fetch, and a
+        # static-box scan carries the box value-identically -- so the
+        # next run() boundary costs ZERO extra device round trips
+        self._step_cache = (self.state, start_step + sum(segments))
+        if vmax_now is not None:
+            self._vmax_cache = (self.state, vmax_now)
+        g = getattr(self, "_geom_cache", None)
+        if g is not None and g[0] is box_before and \
+                not getattr(self.integrator, "changes_box", False):
+            self._geom_cache = (self.state.box, g[1], g[2])
         if layout is not None:
             # the strong state_ref makes the identity check safe against
             # id() reuse after garbage collection

@@ -763,7 +763,11 @@ class TestViolentStarts:
         grid = hist[-1][0][0]
         assert grid == sim._layout.plan.grid
         occ_now = sim._max_occupancy_now(sim._layout)
-        assert hist[-1][1] >= occ_now  # running max covers any snapshot
+        # the running max is sampled at repack events; the final state
+        # may have drifted up to half a skin since the last repack, so a
+        # snapshot can exceed it by the same drift-tail margin the
+        # capacity calibration budgets for (ops/cellwise.py occ_max+2)
+        assert hist[-1][1] + 2 >= occ_now
         assert hist[-1][1] <= sim._layout.plan.capacity
 
     def test_builtin_only_md_runs(self):
