@@ -1,6 +1,7 @@
 """Cell-list neighbor build cross-checked against the dense O(N^2) build
 (the reference's nlist cross-oracle pattern, test_utils.py:401-430)."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,6 +55,7 @@ class TestCellListCrossCheck:
             rs = rs[rs > 0]
             assert np.all(np.diff(rs) >= -1e-3 * np.maximum(rs[1:], 1.0))
 
+    @pytest.mark.slow
     def test_overflow_flag(self):
         n, L, r_cut, NN = 100, 9.0, 3.0, 32
         pos4 = jnp.asarray(random_system(n, L, seed=4))
@@ -66,6 +68,7 @@ class TestCellListCrossCheck:
             config=htf.CellList(capacity=128), return_overflow=True)
         assert not bool(overflow)
 
+    @pytest.mark.slow
     def test_pallas_matches_n2(self):
         """The fused Pallas kernel (interpreted on CPU) finds exactly the
         same neighbor sets as the dense O(N^2) oracle."""
@@ -91,6 +94,7 @@ class TestCellListCrossCheck:
 
 
 class TestPallasInSimulation:
+    @pytest.mark.slow
     def test_attach_pallas_runs(self):
         """nlist='pallas' through the full Simulation (interpreter on CPU);
         forces match the n2 path on identical positions."""
@@ -144,6 +148,7 @@ class TestDirectMode:
         np.testing.assert_allclose(f[:, :3].sum(axis=0), 0.0, atol=2e-2)
         np.testing.assert_allclose(w, np.swapaxes(w, 1, 2), atol=1e-5)
 
+    @pytest.mark.slow
     def test_direct_training(self):
         n = 300
         sim = htf.Simulation(dt=0.001,

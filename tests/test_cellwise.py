@@ -139,6 +139,7 @@ class TestPlan:
 
 
 class TestPlanesCorrectness:
+    @pytest.mark.slow
     def test_planes_match_oracle(self):
         """Per-particle neighbor distance multisets from the cellwise
         planes equal the dense O(N^2) oracle's."""
@@ -217,6 +218,7 @@ class TestPlanesCorrectness:
             net = np.abs(np.asarray(f_half)[:, :3].sum(axis=0)).max()
             assert net < 1e-2, net
 
+    @pytest.mark.slow
     def test_pallas_kernel_matches_xla(self):
         """The Pallas half-stencil kernel (interpreter mode on CPU)
         reproduces the XLA full stencil: forces, energy, virial, typed
@@ -264,6 +266,7 @@ class TestPlanesCorrectness:
                                            np.asarray(w_ref),
                                            rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow
     def test_pack_unpack_roundtrip(self):
         n = 128
         sim = fluid_sim(n=n, density=0.3, kT_init=1.0)
@@ -295,6 +298,7 @@ class TestPlanesCorrectness:
 
 
 class TestSimulationParity:
+    @pytest.mark.slow
     def test_forces_match_n2_one_step(self):
         n = 256
         ref = fluid_sim(n=n)
@@ -308,6 +312,7 @@ class TestSimulationParity:
                                    np.asarray(ref.state.forces),
                                    rtol=2e-4, atol=2e-5)
 
+    @pytest.mark.slow
     def test_trajectory_parity_with_rebuilds(self):
         """Multi-step NVE parity vs the dense path, crossing at least one
         repack (the analog of the reference's exact-match-under-
@@ -334,6 +339,7 @@ class TestSimulationParity:
                                    np.asarray(ref.state.velocities),
                                    rtol=1e-2, atol=2e-3)
 
+    @pytest.mark.slow
     def test_nvt_temperature_dof(self):
         """NVT thermostat must count only real degrees of freedom (ghost
         rows would otherwise dilute the temperature)."""
@@ -347,6 +353,7 @@ class TestSimulationParity:
         # the slots/N ratio (~2x here) and T settles far from the target
         assert abs(t - 1.1) < 0.2, t
 
+    @pytest.mark.slow
     def test_langevin_ghosts_inert(self):
         n = 256
         sim = fluid_sim(n=n, integrator=htf.md.Langevin(kT=1.0, gamma=1.0),
@@ -358,6 +365,7 @@ class TestSimulationParity:
         t = sim.thermo()["temperature"]
         assert 0.3 < t < 3.0, t
 
+    @pytest.mark.slow
     def test_thermo_log_matches_n2(self):
         n = 256
         ref = fluid_sim(n=n, kT_init=0.7, seed=5)
@@ -372,6 +380,7 @@ class TestSimulationParity:
                                        rtol=5e-4, atol=1e-4,
                                        err_msg=k)
 
+    @pytest.mark.slow
     def test_overflow_raises(self):
         # with auto_replan off the overflow is a hard error; with it on
         # (the default) run() self-heals -- see
@@ -390,6 +399,7 @@ class TestSimulationParity:
         with pytest.raises(ValueError, match="incompatible"):
             tfc.attach(sim, r_cut=2.5, nlist="cellwise", batch_size=64)
 
+    @pytest.mark.slow
     def test_get_nlist_array(self):
         sim = fluid_sim(n=256)
         tfc = htf.tfcompute(LJ(48))
@@ -400,6 +410,7 @@ class TestSimulationParity:
         layout = sim._ensure_layout()
         assert nl.shape[0] == layout.plan.n_slots
 
+    @pytest.mark.slow
     def test_model_forces_persist_through_period(self):
         """period > 1: stale model forces follow their particles through
         repacks (same physics as nlist='n2')."""
@@ -417,6 +428,7 @@ class TestSimulationParity:
 
 
 class TestTraining:
+    @pytest.mark.slow
     def test_mapped_nlist_on_cellwise(self):
         """enable_mapped_nlist + nlist='cellwise' (VERDICT round-2 item
         3): the model sees particle-order planes, bead rows follow the
@@ -469,6 +481,7 @@ class TestTraining:
         with pytest.raises(ValueError, match="mapped"):
             sim.run(2)
 
+    @pytest.mark.slow
     def test_pair_model_train_fast_converges(self):
         """Trainable PairModel parameters learn through the analytic
         training route (the differentiable XLA stencil; no
@@ -499,6 +512,7 @@ class TestTraining:
         assert np.mean(losses[-10:]) < 0.25 * np.mean(losses[:10])
         assert abs(eps - 1.0) < 0.15, eps
 
+    @pytest.mark.slow
     def test_online_training_runs(self):
         """hoomd2tf (training) mode in cellwise: loss decreases while the
         built-in LJ drives the dynamics."""

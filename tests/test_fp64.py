@@ -62,6 +62,7 @@ def _fluid64(n=216, density=0.35, seed=3, integrator=None, kT=0.8):
 
 
 class TestForcesF64:
+    @pytest.mark.slow
     def test_builtin_lj_matches_numpy_oracle(self):
         """Cellwise analytic route at f64 vs the numpy-f64 dense oracle:
         agreement at double precision (1e-10 relative), far beyond any
@@ -77,6 +78,7 @@ class TestForcesF64:
         scale = np.abs(f_ref).max()
         assert np.abs(f_engine[:, :3] - f_ref).max() < 1e-10 * scale
 
+    @pytest.mark.slow
     def test_pair_model_forces_f64(self):
         """A PairModel evaluated through the full driver keeps f64 end
         to end: dtype AND double-precision agreement with the oracle
@@ -98,6 +100,7 @@ class TestForcesF64:
         scale = np.abs(f_ref).max()
         assert np.abs(np.asarray(f)[:, :3] - f_ref).max() < 1e-9 * scale
 
+    @pytest.mark.slow
     def test_generic_model_dtype_propagates(self):
         """A generic SimModel built on ``nlist_rinv`` keeps f64 through
         the driver. Value agreement is delta-limited, NOT precision-
@@ -162,6 +165,7 @@ class TestReversibilityF64:
 
 
 class TestRepackF64:
+    @pytest.mark.slow
     def test_rebuild_fallback_roundtrip(self):
         """The non-32-bit rebuild branch (per-column gathers instead of
         the f32 bitcast block-gather) preserves every state column and
@@ -215,6 +219,7 @@ class TestRepackF64:
 
 
 class TestCheckpointF64:
+    @pytest.mark.slow
     def test_roundtrip_exact(self, tmp_path):
         from hoomd_tf_tpu.serialize import (load_checkpoint,
                                             save_checkpoint)

@@ -76,6 +76,7 @@ def _sim(model, n=256, mode="cellwise", kT=1.0, two_types=False):
     return sim, tfc
 
 
+@pytest.mark.slow
 def test_separable_detected_and_matches():
     s1, t1 = _sim(GenericLJ(48))
     s2, _ = _sim(GenericLJ(48), mode="cell")
@@ -90,6 +91,7 @@ def test_separable_detected_and_matches():
                                rtol=1e-2, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_typed_separable():
     s1, t1 = _sim(TypedLJ(48), two_types=True)
     s2, _ = _sim(TypedLJ(48), mode="cell", two_types=True)
@@ -101,6 +103,7 @@ def test_typed_separable():
                                rtol=1e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_cross_lane_rejected():
     s1, t1 = _sim(CrossLane(48))
     s2, _ = _sim(CrossLane(48), mode="cell")
@@ -113,6 +116,7 @@ def test_cross_lane_rejected():
                                rtol=1e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_position_force_rejected():
     s1, t1 = _sim(WithFieldForce(48))
     s2, _ = _sim(WithFieldForce(48), mode="cell")
@@ -124,6 +128,7 @@ def test_position_force_rejected():
                                rtol=1e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_env_opt_out(monkeypatch):
     monkeypatch.setenv("HTF_LANE_FAST", "0")
     s1, t1 = _sim(GenericLJ(48))
@@ -131,6 +136,7 @@ def test_env_opt_out(monkeypatch):
     assert t1._lane_fast_ok is False
 
 
+@pytest.mark.slow
 def test_pair_model_untouched():
     """PairModel keeps its declared fast path (no probe)."""
 
@@ -143,3 +149,15 @@ def test_pair_model_untouched():
     s1.run(5)
     assert getattr(t1, "_lane_fast_ok", False) is False
     assert np.isfinite(np.asarray(s1.state.positions)).all()
+
+
+def test_smoke_probe_verdicts():
+    """Fast subsystem smoke (the full parity tests are @slow): the probe
+    accepts a separable model and rejects a cross-lane one, on a tiny
+    system with one short scan each."""
+    s1, t1 = _sim(GenericLJ(24), n=128)
+    s1.run(3)
+    assert t1._lane_fast_ok is True
+    s2, t2 = _sim(CrossLane(24), n=128)
+    s2.run(3)
+    assert t2._lane_fast_ok is False

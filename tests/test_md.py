@@ -117,6 +117,7 @@ class TestCrossOracle:
     model and under an independent implementation, compared per step
     (test_tensorflow.py:335-382)."""
 
+    @pytest.mark.slow
     def test_lj_model_vs_builtin(self):
         n = 16
         r_cut = 3.0
@@ -166,6 +167,7 @@ class TestEnergyConservation:
     """NVE total energy drift must be tiny (reference
     test_lj_energy, test_tensorflow.py:532-557)."""
 
+    @pytest.mark.slow
     def test_nve_lj(self):
         # sparse lattice like the reference's test_lj_energy: interactions
         # stay well inside the cutoff so truncation jumps don't pollute the
@@ -489,6 +491,7 @@ class TestNPT:
         with pytest.raises(ValueError, match="n2"):
             sim.run(2)
 
+    @pytest.mark.slow
     def test_npt_cellwise_matches_dense(self):
         """NPT through the dynamic slot layout (geometry from the
         current box each step) reproduces the n2 trajectory AND box."""
@@ -516,6 +519,7 @@ class TestNPT:
         d = d - np.round(d / box_n2) * box_n2
         np.testing.assert_allclose(d, np.zeros_like(d), atol=2e-4)
 
+    @pytest.mark.slow
     def test_npt_static_repack_schedule_engages(self):
         """NPT cellwise rides the static repack schedule (rebuild every
         K steps, cond-free inner scan) with K bounded from the LIVE box
@@ -539,6 +543,7 @@ class TestNPT:
         assert sim._static_K_last is not None and sim._static_K_last >= 1
         assert np.all(np.isfinite(np.asarray(sim.state.positions)))
 
+    @pytest.mark.slow
     def test_npt_cellwise_overcompression_raises(self):
         """A box shrunk until min(edge) < r_cut cannot cover the cutoff
         with the static grid -- surfaced as the overflow error, not
@@ -653,6 +658,7 @@ class TestViolentStarts:
         sim.run(5)
         assert float(np.abs(np.asarray(sim.state.velocities)).max()) > 1e-3
 
+    @pytest.mark.slow
     def test_capacity_overflow_self_heals(self):
         """HOOMD's cell list resizes itself on overflow; the cellwise
         engine rolls back the run, replans with a larger capacity
@@ -678,6 +684,7 @@ class TestViolentStarts:
         assert int(np.asarray(sim.state.step)) == 20
         assert np.all(np.isfinite(np.asarray(sim.state.positions)))
 
+    @pytest.mark.slow
     def test_packed_builder_overflow_self_heals(self):
         """The packed cell builder ('cell'/'direct', used when the box
         is too small for the cellwise layout) gets the same rollback
@@ -704,6 +711,7 @@ class TestViolentStarts:
         assert int(np.asarray(sim.state.step)) == 20
         assert np.all(np.isfinite(np.asarray(sim.state.positions)))
 
+    @pytest.mark.slow
     def test_stale_repack_interval_self_heals(self):
         """The static repack schedule (rebuild every K steps, no per-step
         cond) detects a particle outrunning skin/2 between scheduled
@@ -741,6 +749,7 @@ class TestViolentStarts:
         assert int(np.asarray(sim.state.step)) == 120
         assert np.all(np.isfinite(np.asarray(sim.state.positions)))
 
+    @pytest.mark.slow
     def test_occupancy_history_recorded(self):
         """The scan carries the running max cell occupancy; run()
         records it for replan() calibration and it matches (bounds) a
@@ -770,6 +779,7 @@ class TestViolentStarts:
         assert hist[-1][1] + 2 >= occ_now
         assert hist[-1][1] <= sim._layout.plan.capacity
 
+    @pytest.mark.slow
     def test_builtin_only_md_runs(self):
         """Pure built-in MD without any attached model: the engine
         derives the neighbor config from the forces' own cutoffs

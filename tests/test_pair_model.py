@@ -51,6 +51,7 @@ def make_fluid(n=64, seed=0, kT=0.9):
 
 
 class TestFallbackCompute:
+    @pytest.mark.slow
     def test_matches_simmodel_lj(self):
         """PairModel's generic compute == a hand-written LJ SimModel."""
         n = 32
@@ -64,6 +65,7 @@ class TestFallbackCompute:
         np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
                                    rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.slow
     def test_virial_matches(self):
         n = 27
         sim = make_fluid(n)
@@ -78,6 +80,7 @@ class TestFallbackCompute:
 
 
 class TestCellwiseFastPath:
+    @pytest.mark.slow
     def test_trajectory_matches_generic_model(self):
         """A cellwise run with PairLJ reproduces the same run with the
         equivalent generic SimModel (which uses the planes + vjp route)."""
@@ -92,6 +95,7 @@ class TestCellwiseFastPath:
                                    trajectory(zoo.LJModel),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow
     def test_forces_and_energy_match(self):
         sim = make_fluid(125, seed=3)
         tfc = htf.tfcompute(PairLJ(16))
@@ -106,6 +110,7 @@ class TestCellwiseFastPath:
         f_ref = tfc2.get_forces_array()
         np.testing.assert_allclose(f_fast, f_ref, rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow
     def test_pressure_matches(self):
         """Virial through the analytic fast path: logged pressure equals
         the generic route's."""
@@ -121,6 +126,7 @@ class TestCellwiseFastPath:
             pressure(zoo.LJVirialModel, virial=True),
             rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.slow
     def test_typed_pair_energy(self):
         """Typed pair_energy on the fast path vs the same model through
         the dense route."""
@@ -139,6 +145,7 @@ class TestCellwiseFastPath:
         np.testing.assert_allclose(run("cellwise"), run("n2"),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow
     def test_variables_resolve_on_fast_path(self):
         """pair_energy reading a Variable works under the fast path."""
         def traj(eps):
@@ -177,6 +184,7 @@ class TestCellwiseFastPath:
 
 
 class TestReplan:
+    @pytest.mark.slow
     def test_replan_continues_trajectory(self):
         sim = make_fluid(125, seed=9)
         tfc = htf.tfcompute(PairLJ(16))
@@ -210,6 +218,7 @@ class TestBuiltinAnalyticRoute:
     cellwise mode -- identical trajectories and virial vs the generic
     planes route (nlist='n2' baseline forces the generic path)."""
 
+    @pytest.mark.slow
     def test_builtin_lj_trajectory_parity(self):
         def traj(nlist_mode):
             sim = make_fluid(125, seed=11)
@@ -225,6 +234,7 @@ class TestBuiltinAnalyticRoute:
         np.testing.assert_allclose(p_cw, p_n2, rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(pr_cw, pr_n2, rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.slow
     def test_builtin_wca_parity(self):
         def traj(nlist_mode):
             sim = make_fluid(125, seed=12, kT=0.5)
@@ -237,6 +247,7 @@ class TestBuiltinAnalyticRoute:
         np.testing.assert_allclose(traj("cellwise"), traj("n2"),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow
     def test_typed_builtin_lj_parity(self):
         eps = np.array([[1.0, 0.5], [0.5, 0.8]], np.float32)
         sig = np.ones((2, 2), np.float32)
@@ -256,6 +267,7 @@ class TestBuiltinAnalyticRoute:
         np.testing.assert_allclose(traj("cellwise"), traj("n2"),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow
     def test_online_training_with_analytic_labels(self):
         """Training against analytic-builtin labels learns: the
         trainable eps moves toward the label potential's eps=1."""
@@ -293,6 +305,7 @@ class _TrainableLJPlanes(htf.SimModel):
 
 
 class TestSlopeOverride:
+    @pytest.mark.slow
     def test_override_matches_jvp_default(self):
         """A hand-written pair_energy_and_slope must reproduce the jvp
         default exactly (engine physics does not depend on which form
@@ -349,6 +362,7 @@ class TestAutoReplan:
         sim._replan_check_step = -1
         return fat
 
+    @pytest.mark.slow
     def test_auto_replan_tightens(self):
         """A stale plan is automatically replaced at the next run()
         boundary (the engine's analog of HOOMD's self-resizing cell
@@ -362,6 +376,7 @@ class TestAutoReplan:
         new_plan = sim._ensure_layout().plan
         assert new_plan.capacity < fat.plan.capacity
 
+    @pytest.mark.slow
     def test_opt_out_warns_instead(self):
         import warnings as _w
         sim = make_fluid(216, seed=20)
@@ -376,6 +391,7 @@ class TestAutoReplan:
         assert any("replan" in str(r.message) for r in rec)
         assert sim._ensure_layout() is fat  # plan untouched
 
+    @pytest.mark.slow
     def test_no_replan_when_tight(self):
         sim = make_fluid(216, seed=21)
         tfc = htf.tfcompute(PairLJ(16))
@@ -401,6 +417,7 @@ class TestPairModelSerialization:
         np.testing.assert_allclose(float(m2.eps.value), 0.67, rtol=1e-6)
         assert m2.min_r2 == m.min_r2
 
+    @pytest.mark.slow
     def test_checkpoint_resume_mid_run(self, tmp_path):
         from hoomd_tf_tpu.serialize import (save_checkpoint,
                                             load_checkpoint)

@@ -8,6 +8,7 @@ through the analytic forward (which itself is tested against the
 generic capture-replay route in test_cellwise.py).
 """
 
+import pytest
 import dataclasses
 
 import jax
@@ -54,6 +55,7 @@ class TestGradientParity:
     """The custom VJP equals plain reverse-mode AD through the analytic
     forward -- every fwd stencil, with and without the energy column."""
 
+    @pytest.mark.slow
     def test_matches_autodiff_full_and_half(self):
         plan, layout, slot_state, aux, labels = _slot_setup()
         params = [jnp.asarray(0.9), jnp.asarray(1.05)]
@@ -82,6 +84,7 @@ class TestGradientParity:
                 np.testing.assert_allclose(float(a), float(b),
                                            rtol=2e-4, atol=1e-6)
 
+    @pytest.mark.slow
     def test_three_column_cotangent(self):
         """Models trained on forces[:, :3] (reference example 08): zero
         energy-column cotangent, needs_energy=False."""
@@ -110,6 +113,7 @@ class TestGradientParity:
             np.testing.assert_allclose(float(a), float(b),
                                        rtol=2e-4, atol=1e-6)
 
+    @pytest.mark.slow
     def test_traced_geometry_under_scan(self):
         """Deployment shape: geometry inputs are scan-body tracers the
         custom_vjp closes over; params update across iterations."""
@@ -204,6 +208,7 @@ class TestGenericModelTrainFast:
     the custom-VJP fast path -- and its whole training trajectory
     matches the generic capture-replay route from identical weights."""
 
+    @pytest.mark.slow
     def test_one_sgd_step_matches_generic_route(self):
         """One SGD step: loss and updated weights equal the generic
         route's (the sharpest single-number gradient check)."""
@@ -213,6 +218,7 @@ class TestGenericModelTrainFast:
         for a, b in zip(w_fast, w_gen):
             np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-6)
 
+    @pytest.mark.slow
     def test_loss_trace_matches_generic_route(self):
         """15 live-MD Adam steps: the fast path's loss trace tracks the
         generic route's -- compounding gradient errors would diverge
@@ -223,3 +229,35 @@ class TestGenericModelTrainFast:
         np.testing.assert_allclose(h_fast, h_gen, rtol=2e-2, atol=1e-4)
         for a, b in zip(w_fast, w_gen):
             np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-4)
+
+
+def test_smoke_gradient_parity_untyped():
+    """Fast subsystem smoke (full matrix is @slow): the custom VJP equals
+    plain autodiff through the analytic forward on a tiny untyped system,
+    one stencil."""
+    plan, layout, slot_state, aux, labels = _slot_setup(n=128, typed=False)
+    params = [jnp.asarray(0.9)]
+
+    def pair_apply(p, r2):
+        u = 1.0 / r2
+        sr6 = u * u * u
+        return (4.0 * p[0] * (sr6 * sr6 - sr6),
+                -12.0 * p[0] * (2.0 * sr6 - 1.0) * sr6 * u)
+
+    def loss_naive(p):
+        f4, _ = cw.analytic_pair_forces(
+            slot_state.positions, slot_state.types, aux["valid"],
+            plan, layout.lo, lambda r2: pair_apply(p, r2),
+            stencil="full")
+        return jnp.mean((f4 - labels) ** 2)
+
+    def loss_custom(p):
+        f4 = pair_train_forces(
+            p, pair_apply, slot_state.positions, slot_state.types,
+            aux["valid"], plan, layout.lo)
+        return jnp.mean((f4 - labels) ** 2)
+
+    l0, g0 = jax.jit(jax.value_and_grad(loss_naive))(params)
+    l1, g1 = jax.jit(jax.value_and_grad(loss_custom))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=2e-5)
+    np.testing.assert_allclose(float(g0[0]), float(g1[0]), rtol=2e-4)

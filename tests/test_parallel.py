@@ -2,6 +2,7 @@
 sharded engine (Simulation + mesh), frame-data-parallel training, and the
 explicit halo-ring reference implementation."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,6 +30,7 @@ def lattice_pos4(n, a=1.3, seed=0, jitter=0.05):
 
 
 class TestHaloExchange:
+    @pytest.mark.slow
     def test_matches_single_device(self):
         """Slab decomposition + ring ppermute halo exchange reproduces the
         single-device forces exactly (the MD twin of ring attention)."""
@@ -161,6 +163,7 @@ class TestFrameDataParallelTraining:
             labs.append(lab)
         return (jnp.stack(nls), jnp.stack(p4s), jnp.stack(labs), box)
 
+    @pytest.mark.slow
     def test_loss_decreases(self):
         import optax
         NN = 16
@@ -184,6 +187,7 @@ class TestFrameDataParallelTraining:
             losses.append(float(loss))
         assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
 
+    @pytest.mark.slow
     def test_grads_match_single_device(self):
         """pmean'd frame-sharded gradients == single-device gradients of
         the mean-over-frames loss."""
@@ -245,6 +249,7 @@ class TestUnifiedShardedEngine:
                 rng.uniform(-1, 1, (n, 3)).astype(np.float32)))
         return sim
 
+    @pytest.mark.slow
     def test_sharded_cellwise_matches_single_device(self):
         """20 NVT steps (crossing a repack) on an 8-device mesh equal the
         single-device cellwise trajectory; no O(N^2) build anywhere."""
@@ -279,6 +284,7 @@ class TestUnifiedShardedEngine:
         # error (missed/duplicated pair) shows up as O(0.1+)
         np.testing.assert_allclose(d, np.zeros_like(d), atol=5e-4)
 
+    @pytest.mark.slow
     def test_sharded_pallas_stencil_matches_single_device(self):
         """The Pallas half-stencil kernel runs SPMD under a mesh (a
         shard_map-wrapped pallas_call on the z-slab cell sharding; the
@@ -314,6 +320,7 @@ class TestUnifiedShardedEngine:
         pe_ref = ref.thermo()["potential_energy"]
         assert abs(pe - pe_ref) < 1e-2 * abs(pe_ref)
 
+    @pytest.mark.slow
     def test_uneven_particle_count(self):
         """n = 4093 (prime: not divisible by the 8-device mesh). The
         slot layout decouples particle count from the sharded slot axis
@@ -345,6 +352,7 @@ class TestUnifiedShardedEngine:
         t = shd.thermo()["temperature"]
         assert 0.3 < t < 2.5, t
 
+    @pytest.mark.slow
     def test_sharded_langevin_and_logging(self):
         from hoomd_tf_tpu.parallel import ShardedSimulation
         sim = ShardedSimulation(dt=0.005, mesh=make_mesh(8), seed=2,
@@ -358,6 +366,7 @@ class TestUnifiedShardedEngine:
         t = sim.thermo()["temperature"]
         assert 0.3 < t < 2.5, t
 
+    @pytest.mark.slow
     def test_sharded_builtin_forces_and_period(self):
         from hoomd_tf_tpu.parallel import ShardedSimulation
         sim = ShardedSimulation(dt=0.005, kT=1.0, mesh=make_mesh(8), seed=3)
@@ -369,6 +378,7 @@ class TestUnifiedShardedEngine:
         assert int(sim.state.step) == 10
         assert np.all(np.isfinite(np.asarray(sim.state.forces)))
 
+    @pytest.mark.slow
     def test_sharded_online_training(self):
         """hoomd2tf training inside the sharded engine: loss decreases."""
         import dataclasses
@@ -401,6 +411,7 @@ class TestUnifiedShardedEngine:
 
 
 class TestShardedReplan:
+    @pytest.mark.slow
     def test_replan_on_mesh_keeps_z_divisibility(self):
         """replan() under a mesh re-plans with the z-divisor constraint
         and the sharded run continues."""

@@ -1,5 +1,6 @@
 """Built-in potential model families."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -64,6 +65,7 @@ class TestNeuralPairPotential:
         assert np.isfinite(l1)
         assert l1 < l0, (l0, l1)
 
+    @pytest.mark.slow
     def test_zero_rows_zero_force(self):
         # isolated particles (no neighbors) must feel zero force
         n, NN = 4, 6

@@ -88,6 +88,7 @@ class TestMatrixAcrossPaths:
         sim.run(1)
         return np.asarray(sim.state.forces)
 
+    @pytest.mark.slow
     def test_all_paths_match(self):
         ref = self._run("n2")
         for mode in ("cell", "direct", "cellwise"):
