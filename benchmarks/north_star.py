@@ -97,7 +97,7 @@ class TrainableNNPair(htf.PairModel):
         return 2.0 * self.last(x)[..., 0]
 
 
-def run_config(n, steps, equil, rounds, pair_decl=False):
+def run_config(n, steps, equil, rounds, pair_decl=False, proxy=False):
     # quench the jittered lattice BEFORE any dynamics or training: the
     # clamped overlap forces of a violent start (~1e27) overflow both
     # the NVT kinetic-energy sum (latching the thermostat at T~0 until
@@ -127,7 +127,8 @@ def run_config(n, steps, equil, rounds, pair_decl=False):
     # live MD; attaching after equilibration keeps the Adam state clear
     # of the melt transient)
     if pair_decl:
-        model = TrainableNNPair(64, output_forces=False)
+        model = TrainableNNPair(64, output_forces=False,
+                                proxy_degree=16 if proxy else None)
         # force-matching only, like the generic row: the analytic
         # route's f4 carries an exact per-particle energy column, but
         # the example-08 protocol trains on forces alone
@@ -170,7 +171,9 @@ def run_config(n, steps, equil, rounds, pair_decl=False):
     best = min(times)
     return {
         "n_particles": n, "nn": 64, "train": True,
-        "model": ("PairModel NN declaration (idiomatic)" if pair_decl
+        "model": (("PairModel NN declaration, Chebyshev proxy K=16"
+                   if proxy else "PairModel NN declaration (idiomatic)")
+                  if pair_decl
                   else "generic SimModel (reference example-08 form)"),
         "temperature_pre_train": float(th["temperature"]),
         "nlist_mode": "cellwise", "steps": steps, "rounds": rounds,
@@ -190,8 +193,12 @@ def main():
     # let the occupancy-calibrated auto-replan reach its tight plan
     # inside the measured window (min over rounds reports it).
     configs = ([dict(n=65536, steps=200, equil=400, rounds=4,
+                     pair_decl=True, proxy=True),
+                dict(n=65536, steps=200, equil=400, rounds=4,
                      pair_decl=True),
                 dict(n=65536, steps=200, equil=400, rounds=4),
+                dict(n=16384, steps=300, equil=300, rounds=3,
+                     pair_decl=True, proxy=True),
                 dict(n=16384, steps=300, equil=300, rounds=3,
                      pair_decl=True),
                 dict(n=16384, steps=300, equil=300, rounds=3)]

@@ -389,7 +389,10 @@ class Simulation:
             return
         from ..ops import cellwise as _cw
         slot_state, aux, _ = layout.pack_jit(self.state)
-        if model.pair_with_types:
+        if model.proxy_degree:
+            pf = model.proxy_pair_fn(layout.plan.r_cut)
+            pair_fn = lambda r2, ti, tj: pf(r2)
+        elif model.pair_with_types:
             pair_fn = model.pair_energy_and_slope
         else:
             pair_fn = lambda r2, ti, tj: model.pair_energy_and_slope(r2)
@@ -793,7 +796,14 @@ class Simulation:
             return cached[1]
         fn = None
         if isinstance(model, PairModel):
-            if model.pair_with_types:
+            if model.proxy_degree:
+                # the lane cost the planner should see is the Clenshaw
+                # proxy, not the (possibly NN) underlying pair function
+                # (built lazily inside the traced probe: the node eval
+                # needs built weights)
+                r_cut = self._nlist_params()[0] or 3.0
+                fn = lambda r2, t: model.proxy_pair_fn(r_cut)(r2)
+            elif model.pair_with_types:
                 fn = lambda r2, t: model.pair_energy_and_slope(r2, t, t)
             else:
                 fn = lambda r2, t: model.pair_energy_and_slope(r2)
@@ -1111,7 +1121,16 @@ class Simulation:
                       model.output_forces and n_extras == 0 and
                       not tfc.batch_size and not tfc.map_enabled)
         if fast_route and isinstance(model, PairModel):
-            fast_pair_fn = lambda state: model.pair_energy_and_slope
+            if model.proxy_degree:
+                # Chebyshev proxy (ops/chebyshev.py): node fit happens
+                # inside the traced step; the lane function is a
+                # Clenshaw recurrence (Mosaic-lowerable even for NN
+                # pair energies)
+                rc_static = layout.plan.r_cut
+                fast_pair_fn = \
+                    lambda state: model.proxy_pair_fn(rc_static)
+            else:
+                fast_pair_fn = lambda state: model.pair_energy_and_slope
             fast_with_types = model.pair_with_types
             fast_min_r2 = model.min_r2
         elif fast_route and getattr(tfc, "_lane_fast_ok", False):
@@ -1467,8 +1486,24 @@ class Simulation:
                     vals[i] = p
                 return vals
 
+            proxy_parts = None
             if train_is_pair_model:
                 wt, mr2 = model.pair_with_types, model.min_r2
+                if model.proxy_degree:
+                    # Chebyshev proxy: the differentiable params of the
+                    # lane contraction become the K-node COEFFICIENTS
+                    # (computed below inside loss_fn, under the rebound
+                    # model params, so grads chain through the fit and
+                    # the model-at-nodes -- both K-sized); the kernel-
+                    # traced pair function is pure Clenshaw arithmetic.
+                    from ..ops.chebyshev import make_pair_proxy
+                    rc_ = layout.plan.r_cut
+                    r_lo_ = model.proxy_r_lo if model.proxy_r_lo \
+                        is not None else 0.25 * rc_
+                    proxy_parts = make_pair_proxy(
+                        model.proxy_degree,
+                        max(r_lo_ * r_lo_, mr2), rc_ * rc_)
+                    wt = False
 
                 def pair_apply(params, r2, ti=None, tj=None):
                     def fn():
@@ -1490,13 +1525,26 @@ class Simulation:
 
             def loss_fn(params):
                 def fn():
-                    f4 = pair_train_forces(
-                        params, pair_apply, state.positions, state.types,
-                        aux["valid"], layout.plan, geo_lo, min_r2=mr2,
-                        with_types=wt, rcut_matrix=layout.rc_matrix,
-                        lengths=geo_len,
-                        needs_energy=train_fast_cols == 4,
-                        fwd_stencil=train_fwd_stencil)
+                    if proxy_parts is not None:
+                        fit_, eval_ = proxy_parts
+                        coeffs = fit_(model.pair_energy_and_slope)
+                        f4 = pair_train_forces(
+                            coeffs, eval_, state.positions,
+                            state.types, aux["valid"], layout.plan,
+                            geo_lo, min_r2=mr2, with_types=False,
+                            rcut_matrix=layout.rc_matrix,
+                            lengths=geo_len,
+                            needs_energy=train_fast_cols == 4,
+                            fwd_stencil=train_fwd_stencil)
+                    else:
+                        f4 = pair_train_forces(
+                            params, pair_apply, state.positions,
+                            state.types, aux["valid"], layout.plan,
+                            geo_lo, min_r2=mr2, with_types=wt,
+                            rcut_matrix=layout.rc_matrix,
+                            lengths=geo_len,
+                            needs_energy=train_fast_cols == 4,
+                            fwd_stencil=train_fwd_stencil)
                     out0 = f4[:, :train_fast_cols]
                     return model.compute_loss([out0], labels), (out0,)
 
