@@ -391,7 +391,10 @@ class Simulation:
         slot_state, aux, _ = layout.pack_jit(self.state)
         if model.proxy_degree:
             pf = model.proxy_pair_fn(layout.plan.r_cut)
-            pair_fn = lambda r2, ti, tj: pf(r2)
+            if model.pair_with_types:
+                pair_fn = pf
+            else:
+                pair_fn = lambda r2, ti, tj: pf(r2)
         elif model.pair_with_types:
             pair_fn = model.pair_energy_and_slope
         else:
@@ -802,7 +805,11 @@ class Simulation:
                 # (built lazily inside the traced probe: the node eval
                 # needs built weights)
                 r_cut = self._nlist_params()[0] or 3.0
-                fn = lambda r2, t: model.proxy_pair_fn(r_cut)(r2)
+                if model.pair_with_types:
+                    fn = lambda r2, t: model.proxy_pair_fn(r_cut)(
+                        r2, t, t)
+                else:
+                    fn = lambda r2, t: model.proxy_pair_fn(r_cut)(r2)
             elif model.pair_with_types:
                 fn = lambda r2, t: model.pair_energy_and_slope(r2, t, t)
             else:
@@ -1496,14 +1503,10 @@ class Simulation:
                     # model params, so grads chain through the fit and
                     # the model-at-nodes -- both K-sized); the kernel-
                     # traced pair function is pure Clenshaw arithmetic.
-                    from ..ops.chebyshev import make_pair_proxy
-                    rc_ = layout.plan.r_cut
-                    r_lo_ = model.proxy_r_lo if model.proxy_r_lo \
-                        is not None else 0.25 * rc_
-                    proxy_parts = make_pair_proxy(
-                        model.proxy_degree,
-                        max(r_lo_ * r_lo_, mr2), rc_ * rc_)
-                    wt = False
+                    # Typed models use the per-type-pair table variant
+                    # (with_types stays on: the masks select the lane's
+                    # coefficient set).
+                    proxy_parts = model.proxy_parts(layout.plan.r_cut)
 
                 def pair_apply(params, r2, ti=None, tj=None):
                     def fn():
@@ -1531,11 +1534,12 @@ class Simulation:
                         f4 = pair_train_forces(
                             coeffs, eval_, state.positions,
                             state.types, aux["valid"], layout.plan,
-                            geo_lo, min_r2=mr2, with_types=False,
+                            geo_lo, min_r2=mr2, with_types=wt,
                             rcut_matrix=layout.rc_matrix,
                             lengths=geo_len,
                             needs_energy=train_fast_cols == 4,
-                            fwd_stencil=train_fwd_stencil)
+                            fwd_stencil=train_fwd_stencil,
+                            mesh=self.mesh, shard_axis=self.shard_axis)
                     else:
                         f4 = pair_train_forces(
                             params, pair_apply, state.positions,
@@ -1544,7 +1548,8 @@ class Simulation:
                             rcut_matrix=layout.rc_matrix,
                             lengths=geo_len,
                             needs_energy=train_fast_cols == 4,
-                            fwd_stencil=train_fwd_stencil)
+                            fwd_stencil=train_fwd_stencil,
+                            mesh=self.mesh, shard_axis=self.shard_axis)
                     out0 = f4[:, :train_fast_cols]
                     return model.compute_loss([out0], labels), (out0,)
 

@@ -66,7 +66,7 @@ class PairModel(SimModel):
     """
 
     def __init__(self, nneighbor_cutoff, min_r2=1e-4, proxy_degree=None,
-                 proxy_r_lo=None, **kwargs):
+                 proxy_r_lo=None, proxy_types=None, **kwargs):
         self.min_r2 = float(min_r2)
         n_args, _ = _sniff_compute(self.pair_energy, 3, "PairModel")
         if n_args not in (1, 3):
@@ -76,24 +76,41 @@ class PairModel(SimModel):
         self.pair_with_types = n_args == 3
         self.proxy_degree = int(proxy_degree) if proxy_degree else None
         self.proxy_r_lo = float(proxy_r_lo) if proxy_r_lo else None
-        if self.proxy_degree and self.pair_with_types:
+        self.proxy_types = int(proxy_types) if proxy_types else None
+        if self.proxy_degree and self.pair_with_types and \
+                not self.proxy_types:
             raise ValueError(
-                "proxy_degree supports untyped pair_energy(r2) only "
-                "(a typed proxy would need per-type-pair coefficient "
-                "tables)")
+                "a typed pair_energy(r2, ti, tj) with proxy_degree "
+                "needs proxy_types=<number of particle types> (one "
+                "coefficient set per unordered type pair); untyped "
+                "pair_energy(r2) needs neither")
         super().__init__(nneighbor_cutoff, **kwargs)
 
-    def proxy_pair_fn(self, r_cut):
-        """The Chebyshev-proxy ``r2 -> (U, dU/dr2)`` for this model at
-        ``r_cut`` (see ``proxy_degree``). Build it inside the traced
-        step (and inside the functional rebind when training) so
-        coefficient gradients flow to the parameters."""
-        from ..ops.chebyshev import pair_proxy
+    def proxy_parts(self, r_cut):
+        """``(fit, eval)`` of the Chebyshev proxy for this model at
+        ``r_cut`` (see ``proxy_degree``); typed models get the
+        per-type-pair table variant."""
+        from ..ops.chebyshev import make_pair_proxy, make_typed_pair_proxy
         r_lo = self.proxy_r_lo if self.proxy_r_lo is not None \
             else 0.25 * float(r_cut)
         r2_lo = max(r_lo * r_lo, self.min_r2)
-        return pair_proxy(self.pair_energy_and_slope, self.proxy_degree,
-                          r2_lo, float(r_cut) ** 2)
+        if self.pair_with_types:
+            return make_typed_pair_proxy(self.proxy_degree, r2_lo,
+                                         float(r_cut) ** 2,
+                                         self.proxy_types)
+        return make_pair_proxy(self.proxy_degree, r2_lo,
+                               float(r_cut) ** 2)
+
+    def proxy_pair_fn(self, r_cut):
+        """The Chebyshev-proxy pair function for this model at
+        ``r_cut`` (``r2[, ti, tj] -> (U, dU/dr2)``). Build it inside
+        the traced step (and inside the functional rebind when
+        training) so coefficient gradients flow to the parameters."""
+        fit, evaluate = self.proxy_parts(r_cut)
+        coeffs = fit(self.pair_energy_and_slope)
+        if self.pair_with_types:
+            return lambda r2, ti, tj: evaluate(coeffs, r2, ti, tj)
+        return lambda r2: evaluate(coeffs, r2)
 
     # ------------------------------------------------------------------
     def pair_energy(self, r2, type_i=None, type_j=None):
@@ -121,6 +138,8 @@ class PairModel(SimModel):
         if self.proxy_degree:
             config["proxy_degree"] = self.proxy_degree
             config["proxy_r_lo"] = self.proxy_r_lo
+            if self.proxy_types:
+                config["proxy_types"] = self.proxy_types
         return config
 
     # ------------------------------------------------------------------

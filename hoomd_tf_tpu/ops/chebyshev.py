@@ -40,7 +40,8 @@ the MD-community analog is tabulated potentials (hoomd.md.pair.table).
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["pair_proxy", "make_pair_proxy", "clenshaw"]
+__all__ = ["pair_proxy", "make_pair_proxy", "make_typed_pair_proxy",
+           "clenshaw"]
 
 
 def _dct_matrix(K):
@@ -133,3 +134,52 @@ def pair_proxy(pair_energy_and_slope, degree, r2_lo, r2_hi):
     fit, evaluate = make_pair_proxy(degree, r2_lo, r2_hi)
     coeffs = fit(pair_energy_and_slope)
     return lambda r2: evaluate(coeffs, r2)
+
+
+def make_typed_pair_proxy(degree, r2_lo, r2_hi, n_types):
+    """Typed variant of :func:`make_pair_proxy`: one coefficient set per
+    unordered type pair ``(a, b)``, fitted from
+    ``pair_energy_and_slope(r2, ti, tj)`` (which must be symmetric under
+    type swap, the package-wide contract).
+
+    Per lane, the type masks collapse the selection into K masked
+    coefficient sums feeding ONE Clenshaw with lane-varying
+    coefficients (the recurrence is elementwise, so per-lane
+    coefficients cost the same as scalars): total cost is
+    ``T(T+1)/2`` mask-FMAs per term plus one Clenshaw per series --
+    ~2.2x the untyped proxy at T=2. Practical for small T (document:
+    each extra type pair adds 2K mask-FMAs per lane).
+    """
+    K = int(degree)
+    T = int(n_types)
+    fit_u, eval_u = make_pair_proxy(degree, r2_lo, r2_hi)
+    pairs = [(a, b) for a in range(T) for b in range(a, T)]
+
+    def fit(pair_energy_and_slope):
+        out = {}
+        for a, b in pairs:
+            def es(r2, a=a, b=b):
+                ta = jnp.full_like(r2, float(a))
+                tb = jnp.full_like(r2, float(b))
+                return pair_energy_and_slope(r2, ta, tb)
+            out[(a, b)] = fit_u(es)
+        return out
+
+    def evaluate(coeffs, r2, ti, tj):
+        # lane-varying effective coefficients via type-pair masks
+        masks = []
+        for a, b in pairs:
+            m = (ti == float(a)) & (tj == float(b))
+            if a != b:
+                m = m | ((ti == float(b)) & (tj == float(a)))
+            masks.append(m.astype(r2.dtype))
+        zero = jnp.zeros_like(r2)
+
+        def blend(key):
+            return [sum((m * coeffs[p][key][k] for m, p in
+                         zip(masks, pairs)), zero) for k in range(K)]
+
+        eff = {"c": blend("c"), "cd": blend("cd")}
+        return eval_u(eff, r2)
+
+    return fit, evaluate

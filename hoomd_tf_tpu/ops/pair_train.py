@@ -49,7 +49,8 @@ __all__ = ["pair_train_forces"]
 def pair_train_forces(params, pair_apply, positions, types, valid, plan,
                       lo, *, min_r2=1e-4, with_types=False,
                       rcut_matrix=None, lengths=None, needs_energy=True,
-                      fwd_stencil="full", bwd_stencil="half"):
+                      fwd_stencil="full", bwd_stencil="half",
+                      mesh=None, shard_axis=None):
     """Analytic pair forces, differentiable in ``params`` only, with the
     hand-written lane-contraction VJP described in the module docstring.
 
@@ -101,7 +102,8 @@ def pair_train_forces(params, pair_apply, positions, types, valid, plan,
             positions, types, valid, plan, lo, bind(params),
             needs_virial=False, min_r2=min_r2, with_types=with_types,
             rcut_matrix=rcut_matrix, stencil=fwd_stencil,
-            lengths=lengths, needs_energy=needs_energy)
+            lengths=lengths, needs_energy=needs_energy,
+            mesh=mesh, shard_axis=shard_axis)
         return f4
 
     def fwd(params):

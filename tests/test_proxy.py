@@ -81,13 +81,38 @@ class TestProxyNumerics:
               loss(jnp.asarray(1.0 - 1e-2))) / 2e-2
         np.testing.assert_allclose(float(g), float(fd), rtol=1e-2)
 
-    def test_typed_proxy_rejected(self):
+    def test_typed_proxy_needs_proxy_types(self):
         class Typed(htf.PairModel):
             def pair_energy(self, r2, type_i, type_j):
                 return 1.0 / r2
 
-        with pytest.raises(ValueError, match="untyped"):
+        with pytest.raises(ValueError, match="proxy_types"):
             Typed(16, proxy_degree=16)
+
+    def test_typed_proxy_matches_exact(self):
+        """Per-type-pair coefficient tables: the typed proxy reproduces
+        a typed LJ (epsilon by type pair) to node-fit rounding."""
+        from hoomd_tf_tpu.ops.chebyshev import make_typed_pair_proxy
+
+        def typed_es(r2, ti, tj):
+            eps = jnp.where((ti == 0) & (tj == 0), 1.0,
+                            jnp.where((ti == 1) & (tj == 1), 0.5, 0.75))
+            U, s = lj_es(r2)
+            return eps * U, eps * s
+
+        fit, ev = make_typed_pair_proxy(16, 0.5625, 9.0, 2)
+        coeffs = fit(typed_es)
+        rng = np.random.RandomState(0)
+        r2 = jnp.asarray(
+            rng.uniform(0.5625, 9.0, (64, 32)).astype(np.float32))
+        ti = jnp.asarray(rng.randint(0, 2, (64, 1)).astype(np.float32))
+        tj = jnp.asarray(rng.randint(0, 2, (64, 32)).astype(np.float32))
+        U, s = ev(coeffs, r2, ti, tj)
+        Ue, se = typed_es(r2, ti, tj)
+        np.testing.assert_allclose(np.asarray(U), np.asarray(Ue),
+                                   rtol=3e-3, atol=3e-3)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(se),
+                                   rtol=3e-3, atol=3e-3)
 
 
 def _fluid(model, n=512, seed=0, train=False, lr=1e-2):
@@ -153,3 +178,42 @@ class TestProxyInSimulation:
         assert cfg["proxy_degree"] == 12 and cfg["proxy_r_lo"] == 0.8
         m2 = PairLJ.from_config(cfg)
         assert m2.proxy_degree == 12 and m2.proxy_r_lo == 0.8
+
+    @pytest.mark.slow
+    def test_typed_proxy_in_sim_matches_exact(self):
+        """Typed proxy end-to-end: trajectory parity vs the exact typed
+        model through the engine's fast path."""
+        class TypedLJ(htf.PairModel):
+            def pair_energy(self, r2, ti, tj):
+                eps = jnp.where((ti == 0) & (tj == 0), 1.0,
+                                jnp.where((ti == 1) & (tj == 1), 0.5,
+                                          0.75))
+                u = 1.0 / r2
+                sr6 = u * u * u
+                return 4.0 * eps * (sr6 * sr6 - sr6)
+
+        def fluid(model, seed=0):
+            n = 512
+            sim = htf.Simulation(dt=0.005,
+                                 integrator=htf.md.NVT(kT=1.0, tau=0.5),
+                                 seed=seed)
+            sim.init_lattice(n, density=0.4, kT_init=1.0)
+            rng = np.random.RandomState(seed)
+            sim.state = dataclasses.replace(
+                sim.state,
+                positions=sim.state.positions + 0.08 * jnp.asarray(
+                    rng.uniform(-1, 1, (n, 3)).astype(np.float32)),
+                types=jnp.asarray(np.arange(n) % 2, jnp.int32))
+            htf.tfcompute(model).attach(sim, r_cut=2.5, nlist="cellwise")
+            sim._choose_repack_interval = lambda layout: 3
+            return sim
+
+        s1 = fluid(TypedLJ(48))
+        s2 = fluid(TypedLJ(48, proxy_degree=16, proxy_types=2))
+        s1.run(10)
+        s2.run(10)
+        L = np.asarray(htf.box_size(s1.state.box))
+        d = (np.asarray(s1.state.positions) -
+             np.asarray(s2.state.positions))
+        d = d - np.round(d / L) * L
+        assert np.abs(d).max() < 2e-3, np.abs(d).max()
