@@ -69,7 +69,8 @@ def main():
     pos = np.asarray(sim.state.positions)
 
     # measured occupancy per candidate grid, at the equilibrated state
-    grids = [(13, 13, 13), (14, 14, 14), (15, 15, 15), (16, 16, 16)]
+    grids = [(11, 11, 11), (12, 12, 12), (13, 13, 13), (14, 14, 14),
+             (15, 15, 15), (16, 16, 16)]
     occ = {}
     for g in grids:
         m, _, _ = _measured_occupancy(pos, lo, lengths, g)

@@ -134,15 +134,30 @@ def _measured_occupancy(positions, lo, lengths, dims):
     return int(counts.max()), float(counts.mean()), float(counts.std())
 
 
-# Measured on TPU v5e (docs/performance.md, probes/kbench14-16): one
-# *padded* pair lane costs ~14 ps (Pallas half-stencil incl. plane build
-# and roll-back assembly at the honest 64k fluid) to ~25 ps (vjp route);
-# one slot of in-scan repack costs ~14 ns (one sort pass + segmented-
+# Measured on TPU v5e. Two lane-cost regimes:
+#
+# - XLA planes routes (width 27): ~14 ps per padded lane (kbench14-16)
+#   to ~25 ps (vjp route) -- every padded lane executes.
+# - Pallas half-stencil kernel (width 14): the *marginal* padded-lane
+#   cost is ~3 ps -- the occupancy predicate skips ghost row groups, so
+#   capacity padding is mostly free and only the candidate width is
+#   real. Fitted from the kbench22 end-to-end (grid x capacity) sweep
+#   at the honest 64k fluid: total = 1.15 ms fixed + 3 ps/lane +
+#   3.6 ms/segment, residuals < 0.05 ms across 13^3..16^3 (see
+#   docs/performance.md item 13). Round 3's 14 ps here was the
+#   AVERAGE (time/lanes), which over-weights lanes 4x against repack
+#   and made the planner pick the measured-worst grid at 64k.
+#
+# One slot of in-scan repack costs ~14 ns (one sort pass + segmented-
 # scan ranks + the single-gather permutation, ops/cellwise.repack_src --
-# 2.08 ms at 151875 slots). Only the ratio matters -- it trades
-# candidate-plane width against repack frequency.
+# 2.08 ms at 151875 slots), plus ~2 ms of per-segment fixed cost
+# (scan-boundary wire pack/unpack + dispatch) that the kbench22 fit
+# resolves. Only the ratios matter -- they trade candidate-plane width
+# against repack frequency.
 _PAIR_LANE_COST = 14e-12
+_PAIR_LANE_COST_PALLAS = 3e-12
 _REPACK_SLOT_COST = 14e-9
+_SEGMENT_FIXED_COST = 2e-3
 
 
 def _pad_to(x, m):
@@ -285,12 +300,15 @@ def plan_cellwise(n, box_lengths, r_cut, config=None, positions=None,
         # (8, 128) on the last two dims -- the *padded* lane count is
         # what executes. (A grid whose raw cap*C is smaller can easily be
         # slower: e.g. cap 26 pads to 32 sublanes, a 23% hidden tax.)
+        lane_cost = (_PAIR_LANE_COST_PALLAS if width_blocks == 14
+                     else _PAIR_LANE_COST)
         cost = (n_cells * _pad_to(cap, 8) *
-                _pad_to(width_blocks * cap, 128) * _PAIR_LANE_COST *
+                _pad_to(width_blocks * cap, 128) * lane_cost *
                 lane_cost_scale)
         if drift_per_step and drift_per_step > 0:
             interval = max(1.0, (skin * 0.98 / 2.0) / drift_per_step)
-            cost += n_cells * cap * _REPACK_SLOT_COST / interval
+            cost += (n_cells * cap * _REPACK_SLOT_COST +
+                     _SEGMENT_FIXED_COST) / interval
         key = (cost, -skin)
         if best is None or key < best[0]:
             best = (key, CellwisePlan(grid=dims, capacity=cap,
