@@ -448,7 +448,14 @@ class Simulation:
                    n_extras == 0)
         if isinstance(model, PairModel):
             tfc._lane_fast_ok = False
-            self._probe_pair_stencil(layout)
+            if tfc.batch_size or tfc.map_enabled:
+                # batched/mapped attachments never take the pair fast
+                # route (fast_route/_pallas_eligible exclude them), so
+                # don't pay pack_jit + a Pallas compile probe for a
+                # verdict that can't be used
+                tfc._pair_fast_stencil = None
+            else:
+                self._probe_pair_stencil(layout)
             return
         if (not (train_ok or eval_ok) or
                 tfc.batch_size or tfc.map_enabled or

@@ -104,6 +104,17 @@ def init_state(positions, box, types=None, velocities=None, masses=None,
         velocities at this temperature with zero net momentum.
     :param seed: PRNG seed.
     """
+    dtype = jnp.dtype(dtype)
+    if jnp.issubdtype(dtype, jnp.floating) and \
+            jnp.zeros((), dtype=dtype).dtype != dtype:
+        # without x64, JAX silently canonicalizes f64 -> f32: the user
+        # asked for double-precision physics and would get f32 with no
+        # error
+        raise ValueError(
+            f"dtype={dtype} requested but JAX canonicalizes it to "
+            f"{jnp.zeros((), dtype=dtype).dtype}; double precision "
+            "requires jax.config.update('jax_enable_x64', True) before "
+            "building the state")
     positions = jnp.asarray(positions, dtype=dtype)
     if positions.shape[-1] == 4:
         if types is None:

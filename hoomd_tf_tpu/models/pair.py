@@ -56,9 +56,17 @@ class PairModel(SimModel):
         pair potential training at ~36 vs 100+ steps/s at 64k
         particles, and what makes NN pair energies Mosaic-lowerable
         (the Pallas kernel sees only fused multiply-adds). Untyped
-        pair functions only. Accuracy: exact for inverse-power
-        polynomials up to the degree (LJ needs 7); ~1e-4 relative for
-        smooth MLPs at 16.
+        pair functions need only this; a typed
+        ``pair_energy(r2, ti, tj)`` additionally needs
+        ``proxy_types=<number of particle types>`` and gets one
+        coefficient table per unordered type pair, blended per lane by
+        type masks (~2.2x the untyped proxy cost at 2 types; each extra
+        type pair adds ``2 * proxy_degree`` mask-FMAs per lane -- see
+        :func:`..ops.chebyshev.make_typed_pair_proxy`). Accuracy: exact
+        for inverse-power polynomials up to the degree (LJ needs 7);
+        ~1e-4 relative for smooth MLPs at 16. The proxy force is exactly
+        the negative gradient of the proxy energy (the slope series is
+        the analytic derivative of the energy series).
     :param proxy_r_lo: inner edge (a distance) of the proxy fit range;
         below it the potential continues C^1-linearly in ``1/r^2``
         (finite, stiffening overlap barrier). Default ``0.25 * r_cut``
@@ -97,9 +105,10 @@ class PairModel(SimModel):
         if self.pair_with_types:
             return make_typed_pair_proxy(self.proxy_degree, r2_lo,
                                          float(r_cut) ** 2,
-                                         self.proxy_types)
+                                         self.proxy_types,
+                                         dtype=self.dtype)
         return make_pair_proxy(self.proxy_degree, r2_lo,
-                               float(r_cut) ** 2)
+                               float(r_cut) ** 2, dtype=self.dtype)
 
     def proxy_pair_fn(self, r_cut):
         """The Chebyshev-proxy pair function for this model at

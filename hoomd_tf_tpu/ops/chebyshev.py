@@ -54,6 +54,20 @@ def _dct_matrix(K):
     return D, np.cos(theta)  # fit matrix, nodes x_k in [-1, 1]
 
 
+def _diff_matrix(K):
+    """Chebyshev differentiation matrix: series coefficients ``c`` of
+    ``f(w)`` -> coefficients ``Dd @ c`` of ``df/dw`` (standard backward
+    recurrence ``d_{k-1} = d_{k+1} + 2 k c_k``, ``d_0`` halved)."""
+    Dd = np.zeros((K, K))
+    for k in range(K - 1, 0, -1):
+        prev = Dd[k + 1] if k + 1 < K else np.zeros(K)
+        row = prev.copy()
+        row[k] += 2.0 * k
+        Dd[k - 1] = row
+    Dd[0] *= 0.5
+    return Dd
+
+
 def clenshaw(coeffs, w):
     """Evaluate a Chebyshev series at ``w`` (in [-1, 1], any array
     shape). ``coeffs`` is a python list of scalars/tracers so a Pallas
@@ -66,7 +80,7 @@ def clenshaw(coeffs, w):
     return coeffs[0] + w * b1 - b2
 
 
-def make_pair_proxy(degree, r2_lo, r2_hi):
+def make_pair_proxy(degree, r2_lo, r2_hi, dtype=None):
     """``(fit, eval)`` pair for the Chebyshev pair proxy over
     ``u = 1/r2`` on ``[r2_lo, r2_hi]``.
 
@@ -75,6 +89,15 @@ def make_pair_proxy(degree, r2_lo, r2_hi):
     (two lists of K scalars, so a Pallas closure hoist sees scalar
     operands). ``eval(coeffs, r2) -> (U, dU/dr2)`` is the lane-shaped
     evaluation -- pure fused multiply-adds.
+
+    The returned force is **exactly** ``-d/dr2`` of the returned energy:
+    the slope series is the analytic Chebyshev derivative of the fitted
+    energy series (``_diff_matrix`` recurrence), not an independent fit
+    of the model's slope. Two independent fits would disagree at the
+    fit-residual level, a small systematic NVE energy-drift source; the
+    derived series makes the proxy a conservative force field by
+    construction. (For polynomials in ``u`` up to the degree -- LJ at
+    K >= 7 -- both routes are exact anyway.)
 
     The split matters for training: the engine computes ``coeffs``
     OUTSIDE the kernel-traced pair function (so the Pallas kernel sees
@@ -88,23 +111,29 @@ def make_pair_proxy(degree, r2_lo, r2_hi):
         continues C^1-linearly in ``u`` (finite, stiffening barrier).
     :param r2_hi: outer edge (``r_cut**2``; larger ``r2`` evaluates at
         the edge -- those lanes are masked by the caller anyway).
+    :param dtype: node/coefficient dtype (default float32). Pass the
+        state dtype in double-precision runs so the fit does not cap
+        coefficient precision at ~1e-7 relative (PairModel threads its
+        own ``dtype`` through automatically).
     """
     K = int(degree)
+    fit_dtype = jnp.float32 if dtype is None else jnp.dtype(dtype)
     u_lo, u_hi = 1.0 / float(r2_hi), 1.0 / float(r2_lo)
     mid, half = 0.5 * (u_hi + u_lo), 0.5 * (u_hi - u_lo)
     D, x = _dct_matrix(K)
     u_nodes = mid + half * x
     r2_nodes_np = 1.0 / u_nodes
     inv_half = 1.0 / half
+    # slope series = d(energy series)/du: Chebyshev-differentiate the
+    # energy coefficients (dw/du = 1/half)
+    Dd = _diff_matrix(K) * inv_half
 
     def fit(pair_energy_and_slope):
-        r2_nodes = jnp.asarray(r2_nodes_np, dtype=jnp.float32)
-        U_k, s_k = pair_energy_and_slope(r2_nodes)
-        # slope in u-space: dU/du = dU/dr2 * dr2/du = -dU/dr2 / u^2
-        su_k = -s_k * r2_nodes * r2_nodes
-        Dj = jnp.asarray(D, dtype=jnp.float32)
-        c = Dj @ U_k.astype(jnp.float32)
-        cd = Dj @ su_k.astype(jnp.float32)
+        r2_nodes = jnp.asarray(r2_nodes_np, dtype=fit_dtype)
+        U_k, _ = pair_energy_and_slope(r2_nodes)
+        Dj = jnp.asarray(D, dtype=fit_dtype)
+        c = Dj @ U_k.astype(fit_dtype)
+        cd = jnp.asarray(Dd, dtype=fit_dtype) @ c
         return {"c": [c[j] for j in range(K)],
                 "cd": [cd[j] for j in range(K)]}
 
@@ -127,16 +156,16 @@ def make_pair_proxy(degree, r2_lo, r2_hi):
     return fit, evaluate
 
 
-def pair_proxy(pair_energy_and_slope, degree, r2_lo, r2_hi):
+def pair_proxy(pair_energy_and_slope, degree, r2_lo, r2_hi, dtype=None):
     """Closure form of :func:`make_pair_proxy` for evaluation paths:
     fits here (call inside the traced step so coefficient gradients
     flow) and returns ``pair_fn(r2) -> (U, dU/dr2)``."""
-    fit, evaluate = make_pair_proxy(degree, r2_lo, r2_hi)
+    fit, evaluate = make_pair_proxy(degree, r2_lo, r2_hi, dtype=dtype)
     coeffs = fit(pair_energy_and_slope)
     return lambda r2: evaluate(coeffs, r2)
 
 
-def make_typed_pair_proxy(degree, r2_lo, r2_hi, n_types):
+def make_typed_pair_proxy(degree, r2_lo, r2_hi, n_types, dtype=None):
     """Typed variant of :func:`make_pair_proxy`: one coefficient set per
     unordered type pair ``(a, b)``, fitted from
     ``pair_energy_and_slope(r2, ti, tj)`` (which must be symmetric under
@@ -152,7 +181,7 @@ def make_typed_pair_proxy(degree, r2_lo, r2_hi, n_types):
     """
     K = int(degree)
     T = int(n_types)
-    fit_u, eval_u = make_pair_proxy(degree, r2_lo, r2_hi)
+    fit_u, eval_u = make_pair_proxy(degree, r2_lo, r2_hi, dtype=dtype)
     pairs = [(a, b) for a in range(T) for b in range(a, T)]
 
     def fit(pair_energy_and_slope):

@@ -62,6 +62,27 @@ def _fluid64(n=216, density=0.35, seed=3, integrator=None, kT=0.8):
 
 
 class TestForcesF64:
+    def test_smoke_small_lj_matches_numpy_oracle(self):
+        """Fast f64 smoke (NOT slow-marked, so ``-m 'not slow'``
+        genuinely compiles a double-precision step, per pyproject's
+        smoke-set claim): 64-particle builtin LJ force vs the numpy-f64
+        oracle at double precision. r_cut is small enough that the
+        cellwise grid (>= 3 cells per axis) exists at this box size --
+        the dense fallback carries the reference's deliberate 3e-6
+        displacement deltas, which through r^-12 cost ~1e-4 in force at
+        ANY precision and would mask the f64 check."""
+        sim = _fluid64(n=64, density=0.3)
+        sim.add_force(htf.md.LennardJones(epsilon=1.0, sigma=1.0,
+                                          r_cut=1.9))
+        sim.run(1)
+        assert sim._layout is not None, "cellwise path did not engage"
+        f_engine = np.asarray(sim.state.forces)
+        assert f_engine.dtype == np.float64
+        lengths = np.asarray(htf.box_size(sim.state.box))
+        f_ref, _ = _lj_oracle_f64(sim.state.positions, lengths, 1.9)
+        scale = np.abs(f_ref).max()
+        assert np.abs(f_engine[:, :3] - f_ref).max() < 1e-10 * scale
+
     @pytest.mark.slow
     def test_builtin_lj_matches_numpy_oracle(self):
         """Cellwise analytic route at f64 vs the numpy-f64 dense oracle:
