@@ -144,9 +144,16 @@ class tfcompute:
             m[k:, :k] = -1.0
             self.r_cut_matrix = m
 
-        skew = float(jnp.sum(jnp.abs(sim.state.box[2])))
-        if skew >= 1e-4:
-            raise ValueError("box is skewed")
+        # The reference rejects any skew (simmodel.py:195 'box is
+        # skewed'); this engine supports triclinic boxes up to HOOMD's
+        # tilt convention (|tilt| <= 0.5, where the sequential
+        # minimum-image wrap is exact) and only rejects beyond it.
+        tilt_max = float(jnp.max(jnp.abs(sim.state.box[2])))
+        if tilt_max > 0.5 + 1e-9:
+            raise ValueError(
+                f"box tilt factors must satisfy |tilt| <= 0.5 (HOOMD "
+                f"convention); got max |tilt| = {tilt_max:.4f} -- "
+                "lattice-reduce the box first")
 
         sim.tfc = self
         sim._scan_cache.clear()

@@ -20,9 +20,21 @@ __all__ = ["NVE", "NVT", "NPT", "Langevin", "Brownian", "Minimize"]
 
 
 def _wrap_positions(positions, box):
+    """Wrap positions into the (possibly triclinic) box: to fractional
+    coordinates via the upper-triangular cell-matrix solve, ``mod 1``,
+    and back. With zero tilt this is exactly ``lo + mod(x - lo, L)``."""
     lo = box[0]
-    bs = box_size(box)
-    return lo + jnp.mod(positions - lo, bs)
+    bs = box_size(box).astype(positions.dtype)
+    xy, xz, yz = (box[2, i].astype(positions.dtype) for i in range(3))
+    r = positions - lo
+    fz = r[..., 2] / bs[2]
+    fy = (r[..., 1] - yz * bs[2] * fz) / bs[1]
+    fx = (r[..., 0] - xy * bs[1] * fy - xz * bs[2] * fz) / bs[0]
+    fx, fy, fz = jnp.mod(fx, 1.0), jnp.mod(fy, 1.0), jnp.mod(fz, 1.0)
+    return lo + jnp.stack([
+        bs[0] * fx + xy * bs[1] * fy + xz * bs[2] * fz,
+        bs[1] * fy + yz * bs[2] * fz,
+        bs[2] * fz], axis=-1)
 
 
 def _kick(state, dt_half):

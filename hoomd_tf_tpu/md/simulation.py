@@ -557,8 +557,13 @@ class Simulation:
         if self.tfc is None:
             # built-in-only runs: slot-resident mode whenever the box
             # can host the grid (>= 3 cells per axis); small boxes fall
-            # through to the dense builder below
+            # through to the dense builder below. For a tilted box the
+            # relevant widths are the perpendicular layer widths.
             lengths = self._box_geometry()[0]
+            tilt = self._box_tilt()
+            if any(tilt):
+                from ..ops.cellwise import _perp_widths
+                lengths = np.asarray(_perp_widths(lengths, tilt))
             return bool(np.all(lengths // r_cut >= 3))
         return method == "cellwise" or isinstance(method, Cellwise)
 
@@ -582,6 +587,7 @@ class Simulation:
         key = (float(r_cut),
                rc_matrix.tobytes() if rc_matrix is not None else None,
                self.state.n_particles, self.dt, z_div, dynamic,
+               self._box_tilt(),
                # under a barostat the lengths drift between run() calls;
                # the geometry is dynamic anyway, so the plan is keyed on
                # the initial planning only
@@ -644,8 +650,15 @@ class Simulation:
             return c[1], c[2]
         b = np.asarray(box)
         lengths, lo = b[1] - b[0], b[0]
-        self._geom_cache = (box, lengths, lo)
+        self._geom_cache = (box, lengths, lo,
+                            tuple(float(t) for t in b[2]))
         return lengths, lo
+
+    def _box_tilt(self):
+        """Static tilt factors ``(xy, xz, yz)`` of the current box (host
+        floats; same identity cache as :meth:`_box_geometry`)."""
+        self._box_geometry()
+        return self._geom_cache[3]
 
     def _host_step(self):
         """The current timestep as a host int without a device fetch on
@@ -848,12 +861,21 @@ class Simulation:
         tfc = self.tfc
         r_cut, _, method, _ = self._nlist_params()
         lengths, lo = self._box_geometry()
+        tilt = self._box_tilt()
         z_div = self.mesh.shape[self.shard_axis] if self.mesh else 1
+        if any(tilt) and self.mesh is not None:
+            raise NotImplementedError(
+                "tilted (triclinic) boxes are not supported with a "
+                "device mesh yet; run single-device or untilt the box")
         config = method if isinstance(method, Cellwise) else None
         # typical per-step drift for the planner's repack-frequency term
         drift = self._drift_estimate()
         dynamic = bool(getattr(self.integrator, "changes_box", False))
         if dynamic:
+            if any(tilt):
+                raise NotImplementedError(
+                    "tilted (triclinic) boxes do not support "
+                    "box-changing integrators (NPT) yet")
             # barostat headroom: extra minimum skin so ~10% compression
             # keeps a positive Verlet margin before geometry failure
             base = config or Cellwise()
@@ -886,7 +908,8 @@ class Simulation:
             drift_per_step=drift, z_divisor=z_div,
             width_blocks=14 if pallas_eligible else 27,
             occ_observed=occ_observed,
-            lane_cost_scale=self._model_lane_cost_scale())
+            lane_cost_scale=self._model_lane_cost_scale(),
+            tilt=tilt)
         # overflow self-healing (run()): a prior capacity overflow sets
         # a floor that every later plan honors -- occupancy measured at
         # planning time can undersell the running fluid's fluctuations
@@ -921,6 +944,13 @@ class Simulation:
         r_cut, rc_matrix, method, NN = params
         lengths = self._box_geometry()[0]
         n = self.state.n_particles
+        tilted = any(self._box_tilt())
+        if tilted and (method in ("cell", "pallas", "direct") or
+                       isinstance(method, _cl.CellList)):
+            raise NotImplementedError(
+                "tilted (triclinic) boxes support nlist='cellwise' "
+                "(slot-resident, the fast path) and 'n2'; the packed "
+                f"cell-list tier ({method!r}) is orthorhombic-only")
         if getattr(self.integrator, "changes_box", False) and \
                 method != "n2":
             if method != "auto":
@@ -960,7 +990,8 @@ class Simulation:
             method in ("cell", "pallas")
         sel_method = "pallas" if method == "pallas" else "sort"
         if method == "auto":
-            want_cell = (n >= 512 and config.usable(lengths, r_cut))
+            want_cell = (n >= 512 and not tilted and
+                         config.usable(lengths, r_cut))
             # measured on v5e: the fused stacked-tile Pallas selection beats
             # the XLA payload sort at every size (2.8 vs 6.1 ms at 4k,
             # 68 vs 158 ms at 64k)
@@ -999,8 +1030,11 @@ class Simulation:
             return build
 
         def build(state):
+            # full box (not just lengths) when tilted: compute_nlist
+            # applies the triclinic minimum image from the tilt row
             nl = compute_nlist(state.positions4, r_cut, NN,
-                               box_size(state.box),
+                               state.box if tilted
+                               else box_size(state.box),
                                sorted=True, return_types=True,
                                r_cut_matrix=rc_matrix)
             return nl, jnp.asarray(False)
@@ -2346,7 +2380,7 @@ class Simulation:
         g = getattr(self, "_geom_cache", None)
         if g is not None and g[0] is box_before and \
                 not getattr(self.integrator, "changes_box", False):
-            self._geom_cache = (self.state.box, g[1], g[2])
+            self._geom_cache = (self.state.box,) + tuple(g[1:])
         if layout is not None:
             # the strong state_ref makes the identity check safe against
             # id() reuse after garbage collection

@@ -195,8 +195,14 @@ class SlotLayout:
             half_skin = jnp.maximum(jnp.min(edges) - plan.r_cut, 0.0) / 2.0
             return jnp.max(d2) >= (half_skin * 0.98) ** 2
         d = slot_state.positions - aux["ref"]
-        lengths = jnp.asarray(plan.lengths, dtype=dtype)
-        d = d - jnp.round(d / lengths) * lengths
+        if any(plan.tilt):
+            # a boundary crossing jumps the position by a *lattice*
+            # vector (with tilt cross terms); the triclinic wrap removes
+            # it so the measured drift is the physical displacement
+            d = cw._wrap_tri(d, plan.lengths, plan.tilt)
+        else:
+            lengths = jnp.asarray(plan.lengths, dtype=dtype)
+            d = d - jnp.round(d / lengths) * lengths
         d2 = jnp.sum(d * d, axis=-1)
         half_skin = max(plan.skin, 0.0) / 2.0
         return jnp.max(d2) >= jnp.asarray((half_skin * 0.98) ** 2,

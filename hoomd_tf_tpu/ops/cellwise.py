@@ -80,6 +80,43 @@ _HALF_OFFS = [(0, 0, 0)] + [o for o in _OFFS
                             if (o[2], o[1], o[0]) > (0, 0, 0)]
 
 
+def _perp_widths(lengths, tilt):
+    """Perpendicular widths of a triclinic box: the distance between the
+    two box faces spanned by the *other* two lattice vectors, per axis
+    (``V / |b x c|`` etc.). These -- not the edge lengths -- are what a
+    cell layer must cover for the 27-stencil to see every pair within
+    ``r_cut``. For zero tilt they equal the edge lengths exactly."""
+    Lx, Ly, Lz = (float(v) for v in lengths)
+    xy, xz, yz = (float(v) for v in tilt)
+    a = np.array([Lx, 0.0, 0.0])
+    b = np.array([xy * Ly, Ly, 0.0])
+    c = np.array([xz * Lz, yz * Lz, Lz])
+    V = Lx * Ly * Lz
+    return (V / float(np.linalg.norm(np.cross(b, c))),
+            V / float(np.linalg.norm(np.cross(a, c))),
+            V / float(np.linalg.norm(np.cross(a, b))))
+
+
+def _wrap_tri(r, lengths, tilt):
+    """Sequential (z, then y, then x) triclinic minimum-image wrap of
+    ``[..., 3]`` displacement(s) with *static* lengths/tilt -- the same
+    convention as :func:`.box.wrap_vector` (exact for HOOMD's supported
+    tilt range, |tilt| <= 0.5)."""
+    dtype = r.dtype
+    Lx, Ly, Lz = (jnp.asarray(v, dtype=dtype) for v in lengths)
+    xy, xz, yz = (jnp.asarray(t, dtype=dtype) for t in tilt)
+    rx, ry, rz = r[..., 0], r[..., 1], r[..., 2]
+    iz = jnp.round(rz / Lz)
+    rx = rx - iz * xz * Lz
+    ry = ry - iz * yz * Lz
+    rz = rz - iz * Lz
+    iy = jnp.round(ry / Ly)
+    rx = rx - iy * xy * Ly
+    ry = ry - iy * Ly
+    rx = rx - jnp.round(rx / Lx) * Lx
+    return jnp.stack([rx, ry, rz], axis=-1)
+
+
 @dataclasses.dataclass(frozen=True)
 class CellwisePlan:
     """Static geometry of the slot-resident layout (hashable; closed over
@@ -89,11 +126,17 @@ class CellwisePlan:
     :param capacity: slots per cell.
     :param lengths: concrete box lengths ``(Lx, Ly, Lz)``.
     :param r_cut: cutoff radius the planes are exact for.
+    :param tilt: dimensionless tilt factors ``(xy, xz, yz)`` (HOOMD
+        convention; all zero = orthorhombic). Static like the lengths:
+        cells are a regular grid in *fractional* space, and every
+        geometry helper branches on ``any(tilt)`` at trace time so the
+        orthorhombic programs are unchanged.
     """
     grid: tuple
     capacity: int
     lengths: tuple
     r_cut: float
+    tilt: tuple = (0.0, 0.0, 0.0)
 
     @property
     def n_cells(self):
@@ -114,18 +157,38 @@ class CellwisePlan:
         return tuple(L / d for L, d in zip(self.lengths, self.grid))
 
     @property
+    def perp_cell_widths(self):
+        """Per-axis perpendicular width of one cell layer -- the quantity
+        the Verlet/stencil criterion actually bounds (equals ``edges``
+        for an unskewed box)."""
+        if not any(self.tilt):
+            return self.edges
+        return tuple(w / d for w, d in
+                     zip(_perp_widths(self.lengths, self.tilt), self.grid))
+
+    @property
     def skin(self):
         """Verlet margin: the slot assignment stays valid while the
         largest displacement since the last repack is below ``skin / 2``."""
-        return min(self.edges) - self.r_cut
+        return min(self.perp_cell_widths) - self.r_cut
 
 
-def _measured_occupancy(positions, lo, lengths, dims):
+def _measured_occupancy(positions, lo, lengths, dims, tilt=(0., 0., 0.)):
     """Max, mean and std of particles-per-cell for concrete positions
-    (host)."""
+    (host). Cells are a regular grid in *fractional* space, so a tilted
+    box bins via the upper-triangular cell-matrix solve."""
     pos = np.asarray(positions)[:, :3].astype(np.float64)
     lengths = np.asarray(lengths, dtype=np.float64)
-    frac = (pos - np.asarray(lo)) / lengths
+    r = pos - np.asarray(lo)
+    if any(tilt):
+        xy, xz, yz = (float(v) for v in tilt)
+        fz = r[:, 2] / lengths[2]
+        fy = (r[:, 1] - yz * lengths[2] * fz) / lengths[1]
+        fx = (r[:, 0] - xy * lengths[1] * fy - xz * lengths[2] * fz) \
+            / lengths[0]
+        frac = np.stack([fx, fy, fz], axis=-1)
+    else:
+        frac = r / lengths
     frac = frac - np.floor(frac)
     dims = np.asarray(dims)
     xyz = np.minimum((frac * dims).astype(np.int64), dims - 1)
@@ -182,7 +245,7 @@ def _snap_free_capacity(cap, width_blocks):
 def plan_cellwise(n, box_lengths, r_cut, config=None, positions=None,
                   lo=None, drift_per_step=None, z_divisor=1,
                   width_blocks=27, occ_observed=None,
-                  lane_cost_scale=1.0):
+                  lane_cost_scale=1.0, tilt=(0.0, 0.0, 0.0)):
     """Choose ``(grid, capacity)`` minimizing amortized per-step cost.
 
     The fused pair loop costs ``27 * n_cells * capacity**2`` lanes;
@@ -235,19 +298,25 @@ def plan_cellwise(n, box_lengths, r_cut, config=None, positions=None,
     from .cell_list import CellList
     config = config if isinstance(config, CellList) else CellList()
     lengths = np.asarray(box_lengths, dtype=np.float64)
+    tilt = tuple(float(t) for t in tilt)
     if lo is None:
         lo = -lengths / 2.0
     min_edge = r_cut + max(config.skin, 0.0)
+    # grid sizing bounds the *perpendicular* width of a cell layer (the
+    # quantity the 27-stencil criterion needs); for zero tilt these are
+    # the edge lengths exactly
+    widths = (np.asarray(_perp_widths(lengths, tilt)) if any(tilt)
+              else lengths)
     best = None
     for scale in np.linspace(1.0, 1.8, 9):
-        dims = list(int(math.floor(L / (min_edge * scale)))
-                    for L in lengths)
+        dims = list(int(math.floor(W / (min_edge * scale)))
+                    for W in widths)
         if z_divisor > 1:
             dims[2] = (dims[2] // z_divisor) * z_divisor
         dims = tuple(dims)
         if any(d < 3 for d in dims):
             continue
-        edges = [L / d for L, d in zip(lengths, dims)]
+        edges = [W / d for W, d in zip(widths, dims)]
         if min(edges) < min_edge:
             continue
         n_cells_d = float(np.prod(dims))
@@ -284,7 +353,7 @@ def plan_cellwise(n, box_lengths, r_cut, config=None, positions=None,
             cap = int(config.capacity)  # the user's word, exactly
         elif positions is not None:
             occ_max, _, _ = _measured_occupancy(
-                positions, lo, lengths, dims)
+                positions, lo, lengths, dims, tilt=tilt)
             cap = (max(occ_max + 1, est) if occ_observed is not None
                    else max(occ_max, est) + 3)
             cap = _snap_free_capacity(cap, width_blocks)
@@ -314,7 +383,7 @@ def plan_cellwise(n, box_lengths, r_cut, config=None, positions=None,
             best = (key, CellwisePlan(grid=dims, capacity=cap,
                                       lengths=tuple(float(L)
                                                     for L in lengths),
-                                      r_cut=float(r_cut)))
+                                      r_cut=float(r_cut), tilt=tilt))
     return best[1] if best else None
 
 
@@ -338,9 +407,15 @@ def slot_cell_centers(plan, lo, dtype=jnp.float32, lengths=None):
     cy = ((cell // nx) % ny).astype(dtype)
     cz = (cell // (nx * ny)).astype(dtype)
     lo = jnp.asarray(lo, dtype=dtype)
-    return jnp.stack([lo[0] + (cx + 0.5) * ex,
-                      lo[1] + (cy + 0.5) * ey,
-                      lo[2] + (cz + 0.5) * ez], axis=-1)
+    fx, fy, fz = (cx + 0.5) * ex, (cy + 0.5) * ey, (cz + 0.5) * ez
+    if any(plan.tilt):
+        # cells are a regular grid in fractional space; the Cartesian
+        # center is the cell matrix applied to the fractional center
+        xy, xz, yz = plan.tilt
+        return jnp.stack([lo[0] + fx + xy * fy + xz * fz,
+                          lo[1] + fy + yz * fz,
+                          lo[2] + fz], axis=-1)
+    return jnp.stack([lo[0] + fx, lo[1] + fy, lo[2] + fz], axis=-1)
 
 
 def bin_cells(pos3, lo, plan, lengths=None):
@@ -352,7 +427,17 @@ def bin_cells(pos3, lo, plan, lengths=None):
         lengths = plan.lengths
     lengths = jnp.asarray(lengths, dtype=dtype)
     dims = jnp.asarray(plan.grid, dtype=jnp.int32)
-    frac = (pos3 - jnp.asarray(lo, dtype=dtype)) / lengths
+    r = pos3 - jnp.asarray(lo, dtype=dtype)
+    if any(plan.tilt):
+        # fractional coordinates via the upper-triangular solve
+        xy, xz, yz = (jnp.asarray(t, dtype=dtype) for t in plan.tilt)
+        fz = r[:, 2] / lengths[2]
+        fy = (r[:, 1] - yz * lengths[2] * fz) / lengths[1]
+        fx = (r[:, 0] - xy * lengths[1] * fy - xz * lengths[2] * fz) \
+            / lengths[0]
+        frac = jnp.stack([fx, fy, fz], axis=-1)
+    else:
+        frac = r / lengths
     frac = frac - jnp.floor(frac)
     xyz = jnp.minimum((frac * dims.astype(dtype)).astype(jnp.int32),
                       dims - 1)
@@ -419,9 +504,21 @@ def cellwise_planes(positions, types, valid, plan, rcut_matrix=None,
         lengths = plan.lengths
     lengths = jnp.asarray(lengths, dtype=dtype)
     Lx, Ly, Lz = lengths[0], lengths[1], lengths[2]
-    ddx = mi(gx.reshape(n_cells, 1, C) - px.reshape(n_cells, cap, 1), Lx)
-    ddy = mi(gy.reshape(n_cells, 1, C) - py.reshape(n_cells, cap, 1), Ly)
-    ddz = mi(gz.reshape(n_cells, 1, C) - pz.reshape(n_cells, cap, 1), Lz)
+    ddx = gx.reshape(n_cells, 1, C) - px.reshape(n_cells, cap, 1)
+    ddy = gy.reshape(n_cells, 1, C) - py.reshape(n_cells, cap, 1)
+    ddz = gz.reshape(n_cells, 1, C) - pz.reshape(n_cells, cap, 1)
+    if any(plan.tilt):
+        # sequential triclinic minimum image (z removes its lattice
+        # vector from all three components, then y, then x)
+        xy, xz, yz = (jnp.asarray(t, dtype=dtype) for t in plan.tilt)
+        iz = jnp.round(ddz / Lz)
+        ddx, ddy, ddz = (ddx - iz * xz * Lz, ddy - iz * yz * Lz,
+                         ddz - iz * Lz)
+        iy = jnp.round(ddy / Ly)
+        ddx, ddy = ddx - iy * xy * Ly, ddy - iy * Ly
+        ddx = mi(ddx, Lx)
+    else:
+        ddx, ddy, ddz = mi(ddx, Lx), mi(ddy, Ly), mi(ddz, Lz)
     d2 = ddx * ddx + ddy * ddy + ddz * ddz
     ok = ((d2 <= rc2) & (d2 >= 25e-8) &
           (gv.reshape(n_cells, 1, C) > 0) &
@@ -454,7 +551,11 @@ def _relative_coords(positions, valid, plan, lo, offs_list, lengths=None):
     C = len(offs_list) * cap
     dynamic = lengths is not None
     np_dtype = np.dtype(dtype)
+    tilted = any(plan.tilt)
     if dynamic:
+        if tilted:
+            raise NotImplementedError(
+                "dynamic-box (NPT) mode does not support tilted boxes")
         L3 = jnp.asarray(lengths, dtype=dtype)
         edges = L3 / jnp.asarray(plan.grid, dtype=dtype)
         ioffs = np.asarray(offs_list, dtype=np_dtype)    # [n_offs, 3]
@@ -465,10 +566,16 @@ def _relative_coords(positions, valid, plan, lo, offs_list, lengths=None):
         centers = slot_cell_centers(plan, lo, dtype, lengths=lengths)
     else:
         # static geometry: bake the offsets as numpy constants so they
-        # embed in the program instead of tracing through repeat ops
-        L3 = jnp.asarray(plan.lengths, dtype=dtype)
+        # embed in the program instead of tracing through repeat ops.
+        # Tilted boxes: the Cartesian offset between a cell and its
+        # (ox,oy,oz) stencil neighbor is the cell matrix applied to the
+        # fractional offset -- still a compile-time constant, so the
+        # hot-loop structure (and the Pallas kernel) is unchanged.
         ex, ey, ez = plan.edges
-        noffs = np.array([(ox * ex, oy * ey, oz * ez)
+        xy, xz, yz = plan.tilt
+        noffs = np.array([(ox * ex + xy * oy * ey + xz * oz * ez,
+                           oy * ey + yz * oz * ez,
+                           oz * ez)
                           for (ox, oy, oz) in offs_list], dtype=np_dtype)
         off_x = jnp.asarray(np.repeat(noffs[:, 0], cap))
         off_y = jnp.asarray(np.repeat(noffs[:, 1], cap))
@@ -479,7 +586,11 @@ def _relative_coords(positions, valid, plan, lo, offs_list, lengths=None):
     # wrap: unwrapped trajectories may place a particle many boxes from
     # its (wrapped-binning) cell; the relative coordinate is the
     # physical position modulo box
-    q = q - jnp.round(q / L3) * L3
+    if tilted:
+        q = _wrap_tri(q, plan.lengths, plan.tilt)
+    else:
+        L3 = L3 if dynamic else jnp.asarray(plan.lengths, dtype=dtype)
+        q = q - jnp.round(q / L3) * L3
     qx = q[:, 0] + (1.0 - valid) * FAR
     qy, qz = q[:, 1], q[:, 2]
 

@@ -65,8 +65,10 @@ def compute_nlist(positions, r_cut, NN, box_size, sorted=False,
     :param positions: ``[N, 4]`` or ``[N, 3]`` positions.
     :param r_cut: cutoff radius.
     :param NN: maximum number of neighbors per particle.
-    :param box_size: ``[Lx, Ly, Lz]`` box edge lengths (or a ``[3,3]`` box,
-        from which sizes are taken).
+    :param box_size: ``[Lx, Ly, Lz]`` box edge lengths, or a full ``[3,3]``
+        box (rows: low, high, tilt). A full box with nonzero tilt factors
+        gets the triclinic minimum image (:func:`.box.wrap_vector`);
+        lengths-only input is orthorhombic.
     :param sorted: sort each particle's neighbors ascending by distance.
     :param return_types: last nlist channel is the neighbor's type (requires
         ``[N, 4]`` positions) instead of its index.
@@ -85,14 +87,19 @@ def compute_nlist(positions, r_cut, NN, box_size, sorted=False,
         raise ValueError('per-type r_cut needs N x 4 positions (types)')
 
     box_size = jnp.asarray(box_size)
+    full_box = box_size if box_size.ndim == 2 else None
     if box_size.ndim == 2:
         box_size = _box_size(box_size)
 
     pos3 = positions[:, :3]
     # displacement from i (row) to j (col): r_ij = x_j - x_i
     dist_mat = pos3[None, :, :] - pos3[:, None, :]
-    box = jnp.reshape(box_size, (1, 1, 3)).astype(dist_mat.dtype)
-    dist_mat = dist_mat - jnp.round(dist_mat / box) * box
+    if full_box is not None:
+        from .box import wrap_vector
+        dist_mat = wrap_vector(dist_mat, full_box)
+    else:
+        box = jnp.reshape(box_size, (1, 1, 3)).astype(dist_mat.dtype)
+        dist_mat = dist_mat - jnp.round(dist_mat / box) * box
     dist = jnp.linalg.norm(dist_mat, axis=2)
     mask = (dist <= r_cut) & (dist >= 5e-4)
     if r_cut_matrix is not None:

@@ -203,9 +203,16 @@ class GSDUniverse:
         box = self._file.read_chunk(0, "configuration/box").astype(
             np.float64).ravel()
         # gsd box: [lx, ly, lz, xy, xz, yz] -> MDAnalysis-style
-        # [lx, ly, lz, alpha, beta, gamma] with orthorhombic angles
+        # [lx, ly, lz, alpha, beta, gamma]. The angle formulas are the
+        # exact inverse of iter_from_trajectory's angle->tilt conversion
+        # (xy = cot(gamma), xz = cos(beta), yz = cos(alpha) - xy*xz with
+        # its b = c = 1 normalization), so tilted GSD boxes round-trip.
+        xy, xz, yz = box[3], box[4], box[5]
+        gamma = np.degrees(np.pi / 2 - np.arctan(xy))
+        beta = np.degrees(np.arccos(np.clip(xz, -1.0, 1.0)))
+        alpha = np.degrees(np.arccos(np.clip(yz + xy * xz, -1.0, 1.0)))
         self.dimensions = np.array(
-            [box[0], box[1], box[2], 90.0, 90.0, 90.0])
+            [box[0], box[1], box[2], alpha, beta, gamma])
 
     def _load_frame(self, i):
         self._positions = np.asarray(

@@ -137,8 +137,14 @@ def iter_from_trajectory(nneighbor_cutoff, universe, selection="all",
         positions = np.concatenate(
             [np.asarray(atom_group.positions, dtype=np.float32),
              type_array], axis=1)
+        # skewed frames get the triclinic minimum image (the reference
+        # converts the angles but then asserts against the skew it just
+        # computed, simmodel.py:195 -- here tilt is supported end to end)
         nlist = compute_nlist(positions[:, :3], r_cut=r_cut,
-                              NN=nneighbor_cutoff, box_size=box[:3])
+                              NN=nneighbor_cutoff,
+                              box_size=(hoomd_box if np.any(
+                                  np.abs(hoomd_box[2]) > 1e-6)
+                                  else box[:3]))
         yield ([nlist, jnp.asarray(positions), jnp.asarray(hoomd_box)],
                TrajectoryFrame(ts, atom_group))
 
