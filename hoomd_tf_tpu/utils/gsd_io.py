@@ -117,7 +117,7 @@ class GSDFile:
         self.close()
 
 
-def write_gsd_frames(path, frames, box=None, types=None):
+def write_gsd_frames(path, frames, box=None, types=None, bonds=None):
     """Write a trajectory of hoomd-schema frames.
 
     :param path: output file.
@@ -125,9 +125,16 @@ def write_gsd_frames(path, frames, box=None, types=None):
         ``typeid`` [N], ``velocity`` [N,3], ``forces`` [N,3]).
     :param box: ``[Lx, Ly, Lz]`` or 6-vector (with tilts).
     :param types: list of type-name strings.
+    :param bonds: optional ``[B, 2]`` int bond topology, written to frame 0
+        as the hoomd-schema ``bonds/N`` + ``bonds/group`` chunks (what
+        HOOMD-blue writes and MDAnalysis reads as universe bonds).
     """
     with GSDFile(path, mode="w") as f:
         for i, fr in enumerate(frames):
+            if i == 0 and bonds is not None:
+                b2 = np.asarray(bonds, dtype=np.uint32).reshape(-1, 2)
+                f.write_chunk("bonds/N", np.array([b2.shape[0]], np.uint32))
+                f.write_chunk("bonds/group", b2)
             pos = np.asarray(fr["positions"], dtype=np.float32)
             n = pos.shape[0]
             f.write_chunk("configuration/step",
@@ -235,6 +242,20 @@ class GSDUniverse:
                 self._forces = np.asarray(self._file.read_chunk(
                     i, name), dtype=np.float32)
                 break
+
+    @property
+    def bonds(self):
+        """``[B, 2]`` int bond topology from frame 0 (``bonds/group``), or
+        an empty array when the file carries none -- duck-compatible with
+        :func:`..utils.cg.find_molecules` system objects."""
+        if self._file.chunk_exists(0, "bonds/group"):
+            return self._file.read_chunk(0, "bonds/group").astype(
+                np.int64).reshape(-1, 2)
+        return np.zeros((0, 2), dtype=np.int64)
+
+    @property
+    def particles(self):
+        return self._group
 
     def select_atoms(self, selection):
         if selection != "all":

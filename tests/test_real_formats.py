@@ -237,3 +237,46 @@ class TestPDBParserRobustness:
         assert len(sub) == 6
         # bonds restricted to the subgroup's atoms
         assert len(sub.bonds.to_indices()) == 4  # 2 per molecule
+
+
+class TestCommittedGSDFixture:
+    """The committed real-data trajectory (``examples/data/dimer_fluid.gsd``)
+    drives the trajectory pipeline end to end -- the repo-side analog of the
+    reference's committed example data (``examples/CG_tutorial/``,
+    ``eds_traj.dcd``) consumed by its examples 06/10."""
+
+    DATA = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "data", "dimer_fluid.gsd")
+
+    def test_fixture_contents(self):
+        u = htf.GSDUniverse(self.DATA)
+        group = u.select_atoms("all")
+        assert len(group) == 64
+        assert u.bonds.shape == (32, 2)
+        f = htf.GSDFile(self.DATA)
+        assert f.nframes == 15
+        assert f.chunk_exists(0, "log/particles/force")
+        np.testing.assert_allclose(u.dimensions[3:], 90.0)
+
+    def test_iter_and_force_match(self):
+        u = htf.GSDUniverse(self.DATA)
+        frames = list(htf.iter_from_trajectory(32, u, r_cut=3.0))
+        assert len(frames) == 15
+        inputs, frame = frames[0]
+        assert inputs[1].shape == (64, 4)
+        assert frame.forces.shape == (64, 3)
+        # molecules recoverable from the file's bond topology
+        class _Top:
+            bonds = htf.GSDUniverse(self.DATA).bonds
+            particles = range(64)
+        mols = htf.find_molecules(_Top())
+        assert len(mols) == 32
+        assert all(len(m) == 2 for m in mols)
+
+    def test_bonds_roundtrip(self, tmp_path):
+        pos = np.random.RandomState(0).rand(6, 3).astype(np.float32)
+        path = str(tmp_path / "b.gsd")
+        write_gsd_frames(path, [{"positions": pos}], box=[3, 3, 3],
+                         bonds=[[0, 1], [2, 3], [4, 5]])
+        u = htf.GSDUniverse(path)
+        np.testing.assert_array_equal(u.bonds, [[0, 1], [2, 3], [4, 5]])
