@@ -158,6 +158,189 @@ def _kernel(pair_eval, const_shapes, with_types, rcut_matrix, cap, n_blocks,
                 dual(s * dy * dz, -1.0, -1.0, out_refs[oi + 8])
 
 
+def _kernel_mm(pair_eval, const_shapes, with_types, rcut_matrix, cap,
+               n_blocks, rc2, min_r2, needs_virial, needs_energy, *refs):
+    """MXU-contraction variant of :func:`_kernel` ("kernel v2a",
+    probes/kbench25): both dual reductions of every channel are
+    CONTRACTIONS of the masked scalar field ``s = dU`` against affine /
+    quadratic functions of the coordinates,
+
+      forward row i:  sum_j s*dx      = (sum_j s*gx_j) - qx_i*(sum_j s)
+      Newton back j:  sum_i s*dx      = gx_j*(sum_i s) - (sum_i s*qx_i)
+      virial xx:      sum_j s*dx*dx   = Sgxx - 2 qx*Sgx + qx^2*S1  (etc)
+
+    so ONE ``[cap, C] x [C, K]`` matmul per cell (G = stacked moment
+    planes) yields every forward channel and ONE ``[K, cap] x [cap, C]``
+    matmul every back channel -- on the MXU, which idles in the v1
+    kernel, cutting the VPU work to dx/d2/pair-fn/mask. Ghost lanes
+    contribute exactly 0 (s is hard-zeroed), so the FAR ghost
+    coordinates never pollute the contractions.
+
+    OPT-IN ONLY (kbench25 verdict): ~1.1x on the kernel at the honest
+    64k state at DEFAULT matmul precision, but TPU DEFAULT is bf16
+    multiplies and the contraction against raw cell-relative
+    coordinates amplifies rounding to ~8e-3 relative force error;
+    Precision.HIGHEST restores 6e-7 but is 1.5x slower than v1. See
+    docs/performance.md round-5 notes.
+
+    Mosaic constraint (bisected in round 5): a sublane-contraction dot
+    plus any other dot inside one ``pl.when`` region ICEs the compiler,
+    so the predicated group loop only computes ``s`` into a VMEM scratch
+    (skipped groups store zeros -- exactly one pass over the scratch
+    either way) and ALL matmuls run unpredicated after the loop (their
+    MAC count is noise on the MXU).
+    """
+    C = n_blocks * cap
+    occ_ref = refs[0]
+    gx_ref, gy_ref, gz_ref = refs[1:4]
+    i = 4
+    gt_ref = None
+    if with_types or rcut_matrix is not None:
+        gt_ref = refs[i]
+        i += 1
+    consts = []
+    for shp in const_shapes:
+        ref = refs[i]
+        i += 1
+        if shp == ():
+            consts.append(ref[0, 0])
+        elif len(shp) == 1:
+            consts.append(ref[:].reshape(shp))
+        else:
+            consts.append(ref[:])
+    n_out = (1 if needs_energy else 0) + 3 + (6 if needs_virial else 0)
+    out_refs = refs[i:i + n_out]
+    s_scr = refs[i + n_out]
+    g_scr = refs[i + n_out + 1] if needs_energy else None
+
+    gx, gy, gz = gx_ref[:], gy_ref[:], gz_ref[:]          # [B, C]
+    if gt_ref is not None:
+        gt = gt_ref[:]
+        tj = gt[:, None, :]
+    B = gx.shape[0]
+    omax = occ_ref[0, 0]
+    for b in range(1, B):
+        omax = jnp.maximum(omax, occ_ref[b, 0])
+
+    dtype = gx.dtype
+    zero = jnp.zeros((), dtype=dtype)
+    groups = [(g * 8, min(cap, (g + 1) * 8))
+              for g in range(-(-cap // 8))]
+    for lo_r, hi_r in groups:
+        @pl.when(lo_r < omax)
+        def _(lo_r=lo_r, hi_r=hi_r):
+            w = hi_r - lo_r
+            qx = gx[:, lo_r:hi_r]
+            qy = gy[:, lo_r:hi_r]
+            qz = gz[:, lo_r:hi_r]
+            dx = gx[:, None, :] - qx[:, :, None]          # [B, w, C]
+            dy = gy[:, None, :] - qy[:, :, None]
+            dz = gz[:, None, :] - qz[:, :, None]
+            d2 = dx * dx + dy * dy + dz * dz
+            row = jax.lax.broadcasted_iota(jnp.int32, (w, C), 0) + lo_r
+            col = jax.lax.broadcasted_iota(jnp.int32, (w, C), 1)
+            not_self = jnp.logical_not((col < cap) & (col == row))[None]
+            ok = (d2 <= rc2) & not_self
+            if gt_ref is not None:
+                ti = gt[:, lo_r:hi_r][:, :, None]
+            if rcut_matrix is not None:
+                from .nlist import pair_rc2
+                ok = ok & (d2 <= pair_rc2(ti, tj, rcut_matrix, d2.dtype))
+            r2 = jnp.maximum(d2, min_r2)
+            if with_types:
+                U, dU = pair_eval(consts, r2, ti, tj)
+            else:
+                U, dU = pair_eval(consts, r2)
+            s_scr[:, lo_r:hi_r, :] = jnp.where(ok, dU, zero)
+            if needs_energy:
+                g_scr[:, lo_r:hi_r, :] = jnp.where(ok, U, zero)
+
+        @pl.when(lo_r >= omax)
+        def _(lo_r=lo_r, hi_r=hi_r):
+            w = hi_r - lo_r
+            s_scr[:, lo_r:hi_r, :] = jnp.zeros((B, w, C), dtype=dtype)
+            if needs_energy:
+                g_scr[:, lo_r:hi_r, :] = jnp.zeros((B, w, C), dtype=dtype)
+
+    # moment planes: K = 4 (force) or 10 (+virial)
+    K = 10 if needs_virial else 4
+    one_c = jnp.ones((1, C), dtype=dtype)
+    q_x, q_y, q_z = gx[:, :cap], gy[:, :cap], gz[:, :cap]
+    one_cap = jnp.ones((1, cap), dtype=dtype)
+    Rs, Es, Bks, Ebks = [], [], [], []
+    for b in range(B):
+        sb = s_scr[b]                                      # [cap, C]
+        grows = [one_c, gx[b:b + 1], gy[b:b + 1], gz[b:b + 1]]
+        qrows = [one_cap, q_x[b:b + 1], q_y[b:b + 1], q_z[b:b + 1]]
+        if needs_virial:
+            grows += [gx[b:b + 1] * gx[b:b + 1],
+                      gy[b:b + 1] * gy[b:b + 1],
+                      gz[b:b + 1] * gz[b:b + 1],
+                      gx[b:b + 1] * gy[b:b + 1],
+                      gx[b:b + 1] * gz[b:b + 1],
+                      gy[b:b + 1] * gz[b:b + 1]]
+            qrows += [q_x[b:b + 1] * q_x[b:b + 1],
+                      q_y[b:b + 1] * q_y[b:b + 1],
+                      q_z[b:b + 1] * q_z[b:b + 1],
+                      q_x[b:b + 1] * q_y[b:b + 1],
+                      q_x[b:b + 1] * q_z[b:b + 1],
+                      q_y[b:b + 1] * q_z[b:b + 1]]
+        Gb = jnp.concatenate(grows, axis=0)                # [K, C]
+        Qb = jnp.concatenate(qrows, axis=0)                # [K, cap]
+        Rs.append(jax.lax.dot_general(
+            sb, Gb, (((1,), (1,)), ((), ())),
+            preferred_element_type=dtype))                 # [cap, K]
+        Bks.append(jax.lax.dot_general(
+            Qb, sb, (((1,), (0,)), ((), ())),
+            preferred_element_type=dtype))                 # [K, C]
+        if needs_energy:
+            gb = g_scr[b]
+            Es.append(jax.lax.dot_general(
+                gb, one_c, (((1,), (1,)), ((), ())),
+                preferred_element_type=dtype))             # [cap, 1]
+            Ebks.append(jax.lax.dot_general(
+                one_cap, gb, (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype))             # [1, C]
+    R = jnp.stack(Rs, axis=0)                              # [B, cap, K]
+    Bk = jnp.stack(Bks, axis=0)                            # [B, K, C]
+
+    oi = 0
+    if needs_energy:
+        E = jnp.stack(Es, axis=0)                          # [B, cap, 1]
+        Ebk = jnp.stack(Ebks, axis=0)                      # [B, 1, C]
+        out_refs[0][:, :cap] = 0.5 * E[:, :, 0]
+        out_refs[0][:, cap:] = (0.5 * Ebk[:, 0, :])[:, cap:]
+        oi = 1
+    R0, R1, R2, R3 = R[:, :, 0], R[:, :, 1], R[:, :, 2], R[:, :, 3]
+    S1, SX, SY, SZ = Bk[:, 0, :], Bk[:, 1, :], Bk[:, 2, :], Bk[:, 3, :]
+    out_refs[oi + 0][:, :cap] = 2.0 * (R1 - q_x * R0)
+    out_refs[oi + 1][:, :cap] = 2.0 * (R2 - q_y * R0)
+    out_refs[oi + 2][:, :cap] = 2.0 * (R3 - q_z * R0)
+    out_refs[oi + 0][:, cap:] = (-2.0 * (gx * S1 - SX))[:, cap:]
+    out_refs[oi + 1][:, cap:] = (-2.0 * (gy * S1 - SY))[:, cap:]
+    out_refs[oi + 2][:, cap:] = (-2.0 * (gz * S1 - SZ))[:, cap:]
+    if needs_virial:
+        # fwd: sum_j s*da*db = Sg(ab) - qa*Sg(b) - qb*Sg(a) + qa*qb*S ;
+        # back: sum_i s*da*db = ga*gb*S1 - ga*S(b) - gb*S(a) + S(ab);
+        # channel coefficient -1 on both sides (v1 dual convention)
+        fq = {"x": (q_x, R1), "y": (q_y, R2), "z": (q_z, R3)}
+        fg = {"xx": 4, "yy": 5, "zz": 6, "xy": 7, "xz": 8, "yz": 9}
+        bg = {"x": (gx, SX), "y": (gy, SY), "z": (gz, SZ)}
+        for k, (a, bnm) in enumerate(
+                [("x", "x"), ("y", "y"), ("z", "z"),
+                 ("x", "y"), ("x", "z"), ("y", "z")]):
+            qa, Ra = fq[a]
+            qb, Rb = fq[bnm]
+            Rab = R[:, :, fg[a + bnm]]
+            out_refs[oi + 3 + k][:, :cap] = -(
+                Rab - qa * Rb - qb * Ra + qa * qb * R0)
+            ga, Sa = bg[a]
+            gb_, Sb = bg[bnm]
+            Sab = Bk[:, fg[a + bnm], :]
+            out_refs[oi + 3 + k][:, cap:] = (-(
+                ga * gb_ * S1 - ga * Sb - gb_ * Sa + Sab))[:, cap:]
+
+
 def _kernel_row(pair_eval, const_shapes, with_types, rcut_matrix, cap,
                 n_blocks, rc2, min_r2, needs_virial, needs_energy, *refs):
     """Rank-2 per-row variant of :func:`_kernel`: rows are processed one
@@ -254,7 +437,7 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
                              with_types=False, rcut_matrix=None,
                              lengths=None, block_cells=None,
                              needs_energy=True, interpret=False,
-                             lane_dtype=None, row_form=None,
+                             lane_dtype=None, row_form=None, mm_form=None,
                              mesh=None, shard_axis=None):
     """Drop-in equivalent of :func:`.cellwise.analytic_pair_forces`
     computed by the Pallas half-stencil kernel (same contract, same
@@ -302,6 +485,24 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
         # the reduced-precision path keeps the group form: rank-2 bf16
         # per-row ops hit the same Mosaic crash as rank-3 (kbench17)
         row_form = False
+    if mm_form is None:
+        # opt-in only (HTF_PALLAS_MM=1): the MXU-contraction dual form
+        # ("kernel v2a", probes/kbench25) moves the v1 dual reductions
+        # to two small matmuls per cell on the otherwise-idle MXU.
+        # Measured at the honest 64k state: ~1.1x on the kernel at
+        # DEFAULT matmul precision -- but DEFAULT on TPU is bf16
+        # multiplies, and contracting the scalar field against
+        # cell-relative coordinates (|g| up to the cell size, true
+        # differences down to ~sigma) amplifies bf16 rounding to ~8e-3
+        # RELATIVE force error, unacceptable for MD; HIGHEST (6-pass
+        # f32 emulation) restores 6e-7 but lands 1.5x SLOWER than v1.
+        # Kept as an experiment: the form is the right shape for a
+        # future fp8/bf16-native potential table.
+        import os
+        mm_form = (not row_form and lane_dtype is None and
+                   os.environ.get("HTF_PALLAS_MM", "0") == "1")
+    if row_form or lane_dtype is not None:
+        mm_form = False
     n_cells, cap = plan.n_cells, plan.capacity
     offs_list = _HALF_OFFS
     n_blocks = len(offs_list)
@@ -389,7 +590,7 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
 
     rc2 = float(plan.r_cut) ** 2
     kernel = functools.partial(
-        _kernel_row if row_form else _kernel,
+        _kernel_mm if mm_form else (_kernel_row if row_form else _kernel),
         pair_eval, const_shapes, with_types,
         None if rcut_matrix is None else np.asarray(rcut_matrix),
         cap, n_blocks,
@@ -416,12 +617,22 @@ def half_stencil_pair_forces(positions, types, valid, plan, lo, pair_fn,
             occ_l = jnp.pad(occ_l, ((0, npad - nloc), (0, 0)))
             ins_l = [jnp.pad(a, ((0, npad - nloc), (0, 0)), mode="edge")
                      for a in ins_l]
+        scratch = []
+        if mm_form:
+            # the masked scalar field s (and U when energy is on) lives
+            # in a VMEM scratch between the predicated lane loop and the
+            # unpredicated matmul pass (Mosaic rejects dots inside
+            # pl.when regions that already contain a sublane dot)
+            scratch = [pltpu.VMEM((B, cap, C), out_dtype)]
+            if needs_energy:
+                scratch.append(pltpu.VMEM((B, cap, C), out_dtype))
         outs = pl.pallas_call(
             kernel,
             grid=(npad // B,),
             in_specs=[occ_spec] + [spec] * n_in + small_specs,
             out_specs=[spec] * n_out,
             out_shape=[jax.ShapeDtypeStruct((npad, C), out_dtype)] * n_out,
+            scratch_shapes=scratch,
             interpret=interpret,
         )(occ_l, *ins_l, *small_l)
         return tuple(o[:nloc] for o in outs)
