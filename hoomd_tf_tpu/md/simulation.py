@@ -1517,6 +1517,18 @@ class Simulation:
         train_is_pair_model = isinstance(model, PairModel)
         train_fast_cols = (4 if train_is_pair_model
                            else getattr(tfc, "_lane_fast_cols", 4))
+        # round 5: the energy column's lanes are ~10% of the train
+        # primal and ~1/2 of the proxy backward's moment sums, yet the
+        # canonical force-matching loss never reads it. Probe the
+        # user's loss once (gradient w.r.t. prediction column 3 at two
+        # random points): when it is identically zero AND nothing saves
+        # per-step outputs (save_output_period), the train route skips
+        # the energy lanes; the prediction keeps its 4-column shape
+        # with a zero column, so extras/cond pytrees are unchanged.
+        train_energy = train_fast and train_fast_cols == 4
+        if train_energy and not (tfc.save_output_period and
+                                 tfc.output_offset == 0):
+            train_energy = _loss_consumes_energy(model)
         train_fwd_stencil = model_stencil
 
         def train_fast_update(mv, opt_state, state, aux, labels):
@@ -1578,7 +1590,7 @@ class Simulation:
                             geo_lo, min_r2=mr2, with_types=wt,
                             rcut_matrix=layout.rc_matrix,
                             lengths=geo_len,
-                            needs_energy=train_fast_cols == 4,
+                            needs_energy=train_energy,
                             fwd_stencil=train_fwd_stencil,
                             mesh=self.mesh, shard_axis=self.shard_axis)
                     else:
@@ -1588,7 +1600,7 @@ class Simulation:
                             geo_lo, min_r2=mr2, with_types=wt,
                             rcut_matrix=layout.rc_matrix,
                             lengths=geo_len,
-                            needs_energy=train_fast_cols == 4,
+                            needs_energy=train_energy,
                             fwd_stencil=train_fwd_stencil,
                             mesh=self.mesh, shard_axis=self.shard_axis)
                     out0 = f4[:, :train_fast_cols]
@@ -1659,6 +1671,16 @@ class Simulation:
                               (tfc is not None and tfc.model.virial))
         slim = (not log and not train and always_eval and
                 layout is not None and (pair_fast or builtin_fast))
+        # train-mode analog (round 5): the online-training loop's
+        # built-in evaluation (labels + driving forces) skips the
+        # virial on every step when nothing in the loop consumes it --
+        # at 64k the virial's 6 extra dual channels are ~60% of the
+        # label kernel (benchmarks/probes/kbench26) -- and run()'s
+        # refresh restores full post-run observable state exactly like
+        # eval-mode slim. The energy column stays on: labels feed the
+        # user's loss, which may consume column 4.
+        slim_train = (not log and train and always_eval and
+                      layout is not None and builtin_fast)
 
         def step(carry, it):
             (state, aux, mv, opt_state, model_forces, model_virial,
@@ -1774,10 +1796,28 @@ class Simulation:
                     net_f = f_b + f_now
                     net_w = (w_b + w_now) if needs_virial else None
                 else:
-                    # labels: selected reference forces, or all built-ins
-                    f_ref, w_ref = builtin_forces(
-                        state, aux, nlist,
-                        subset=tfc.reference_forces or None)
+                    # labels: selected reference forces, or all
+                    # built-ins. When the label set IS the full
+                    # built-in set (the common online-learning shape,
+                    # reference example 08), ONE evaluation serves both
+                    # the labels and the driving forces -- the round-4
+                    # step paid the label kernel twice (~2x the LJ cost
+                    # per train step at 64k, probes/kbench26). The
+                    # reference computes them once too: its labels
+                    # tensor is the HOOMD net force
+                    # (tensorflowcompute.py:346-370).
+                    lab_subset = tfc.reference_forces or None
+                    want_w = (virial_in_loop if slim_train else True)
+                    if lab_subset is None:
+                        f_b, w_b = builtin_forces(
+                            state, aux, nlist, want_virial=want_w)
+                        f_ref = f_b
+                    else:
+                        f_ref, _ = builtin_forces(
+                            state, aux, nlist, subset=lab_subset,
+                            want_virial=False)
+                        f_b, w_b = builtin_forces(
+                            state, aux, nlist, want_virial=want_w)
                     if always_eval:
                         loss, extras, mv, opt_state = train_model(
                             mv, opt_state, state, nlist, f_ref, aux=aux)
@@ -1797,7 +1837,6 @@ class Simulation:
 
                         mv, opt_state, loss, extras = jax.lax.cond(
                             recompute, do_train, keep, (mv, opt_state))
-                    f_b, w_b = builtin_forces(state, aux, nlist)
                     net_f = f_b
                     net_w = w_b if needs_virial else None
             else:
@@ -1819,7 +1858,8 @@ class Simulation:
                 net_f = net_f * keep_rows[:, None]
             # slim mode leaves the carried virial untouched (stale) in
             # the loop; refresh() writes the real one once post-scan
-            write_virial = needs_virial and (not slim or virial_in_loop)
+            write_virial = needs_virial and (
+                not (slim or slim_train) or virial_in_loop)
             if layout is not None:
                 # ghost rows carry no force, energy or virial
                 valid = aux["valid"]
@@ -1865,17 +1905,21 @@ class Simulation:
             return (state, aux, mv, opt_state, model_forces,
                     model_virial, overflow), ys
 
-        if slim:
+        if slim or slim_train:
             def refresh(carry):
                 """One full-flag force evaluation at the carry's current
                 positions (identical forces; adds the energy column and,
-                when ``needs_virial``, the virial the slim loop skipped)."""
+                when ``needs_virial``, the virial the slim loop skipped).
+                In train mode the net force is the built-ins alone (the
+                step's own convention: the trained model does not drive
+                the dynamics)."""
                 (state, aux, mv, opt_state, model_forces, model_virial,
                  overflow) = carry
-                need_planes = ((tfc is not None and not pair_fast) or
+                need_planes = ((tfc is not None and not train and
+                                not pair_fast) or
                                (bool(self.forces) and not builtin_fast))
                 nlist = layout.planes(state, aux) if need_planes else None
-                if tfc is None:
+                if tfc is None or train:
                     dtype = state.positions.dtype
                     f_now = jnp.zeros((state.n_particles, 4), dtype)
                     w_now = jnp.zeros((state.n_particles, 3, 3), dtype)
@@ -2418,6 +2462,30 @@ class Simulation:
             if tfc.train:
                 tfc.opt_state = opt_state
             tfc.check_overflow()
+        return True
+
+
+def _loss_consumes_energy(model):
+    """Does ``model.compute_loss`` read prediction column 3 (the
+    per-particle energy)?  Probed by evaluating the loss gradient
+    w.r.t. the prediction at two random points on tiny arrays: the
+    canonical force-matching losses slice ``[:, :3]`` and probe
+    identically zero, letting the train route skip the energy lanes
+    (primal AND proxy-backward moment sums).  Any probe failure --
+    shape-sensitive losses, exotic structures -- conservatively keeps
+    the energy on."""
+    import numpy as _np
+    try:
+        for seed in (0, 1):
+            rng = _np.random.RandomState(seed)
+            y = jnp.asarray(rng.randn(8, 4).astype(_np.float32))
+            lab = jnp.asarray(rng.randn(8, 4).astype(_np.float32))
+            g = jax.grad(lambda o: jnp.asarray(
+                model.compute_loss([o], lab)).sum())(y)
+            if bool(np.any(np.asarray(g[:, 3]) != 0)):
+                return True
+        return False
+    except Exception:
         return True
 
 

@@ -153,6 +153,15 @@ def make_pair_proxy(degree, r2_lo, r2_hi, dtype=None):
         su = jnp.where(in_range, su, s_hi)
         return U, -su * u * u
 
+    # static basis description: lets the lane-contraction VJP
+    # (ops/pair_train.py) recognize this evaluator as LINEAR in its
+    # coefficients and compute the whole parameter gradient as K
+    # weighted lane-moment sums in a Pallas kernel
+    # (ops/pair_train_pallas.py) instead of XLA-differentiating the
+    # rank-3 lane structure.
+    evaluate.basis = {"K": K, "mid": float(mid),
+                      "inv_half": float(inv_half), "u_hi": float(u_hi),
+                      "pairs": None}
     return fit, evaluate
 
 
@@ -211,4 +220,5 @@ def make_typed_pair_proxy(degree, r2_lo, r2_hi, n_types, dtype=None):
         eff = {"c": blend("c"), "cd": blend("cd")}
         return eval_u(eff, r2)
 
+    evaluate.basis = dict(eval_u.basis, pairs=tuple(pairs))
     return fit, evaluate

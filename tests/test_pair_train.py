@@ -261,3 +261,64 @@ def test_smoke_gradient_parity_untyped():
     l1, g1 = jax.jit(jax.value_and_grad(loss_custom))(params)
     np.testing.assert_allclose(float(l0), float(l1), rtol=2e-5)
     np.testing.assert_allclose(float(g0[0]), float(g1[0]), rtol=2e-4)
+
+
+class TestProxyPallasBackward:
+    """The Pallas moment-kernel backward (ops/pair_train_pallas.py)
+    equals the generic XLA lane contraction for Chebyshev-proxy pair
+    functions -- untyped, typed (per-type-pair tables), and with the
+    energy column off."""
+
+    def _grads(self, impl, typed, needs_energy, rc_matrix=None):
+        from hoomd_tf_tpu.ops.chebyshev import (make_pair_proxy,
+                                                make_typed_pair_proxy)
+        plan, layout, slot_state, aux, labels = _slot_setup(typed=typed)
+        r_cut = plan.r_cut
+        r2_lo = (0.25 * r_cut) ** 2
+        if typed:
+            fit_, eval_ = make_typed_pair_proxy(8, r2_lo, r_cut ** 2, 2)
+            coeffs = fit_(lambda r2, ti, tj: _typed_lj(
+                [jnp.asarray(0.9), jnp.asarray(1.05)], r2, ti, tj))
+        else:
+            fit_, eval_ = make_pair_proxy(8, r2_lo, r_cut ** 2)
+            coeffs = fit_(lambda r2: _typed_lj(
+                [jnp.asarray(0.9), jnp.asarray(1.05)], r2,
+                jnp.zeros_like(r2), jnp.zeros_like(r2)))
+        cols = 4 if needs_energy else 3
+
+        def loss(c):
+            f4 = pair_train_forces(
+                c, eval_, slot_state.positions, slot_state.types,
+                aux["valid"], plan, layout.lo, with_types=typed,
+                rcut_matrix=rc_matrix, needs_energy=needs_energy,
+                fwd_stencil="full", bwd_impl=impl)
+            return jnp.mean((f4[:, :cols] - labels[:, :cols]) ** 2)
+
+        return jax.jit(jax.value_and_grad(loss))(coeffs)
+
+    def _check(self, typed, needs_energy, rc_matrix=None):
+        l_x, g_x = self._grads("xla", typed, needs_energy, rc_matrix)
+        l_p, g_p = self._grads("pallas", typed, needs_energy, rc_matrix)
+        assert np.allclose(l_x, l_p, rtol=1e-6)
+        lx = jax.tree_util.tree_leaves(g_x)
+        lp = jax.tree_util.tree_leaves(g_p)
+        assert len(lx) == len(lp)
+        scale = max(float(np.max(np.abs(np.asarray(v)))) for v in lx)
+        for a, b in zip(lx, lp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5 * scale)
+
+    def test_untyped(self):
+        self._check(typed=False, needs_energy=True)
+
+    def test_untyped_forces_only(self):
+        self._check(typed=False, needs_energy=False)
+
+    @pytest.mark.slow
+    def test_typed_table(self):
+        self._check(typed=True, needs_energy=True)
+
+    @pytest.mark.slow
+    def test_typed_with_rcut_matrix(self):
+        rc = np.array([[2.5, 1.8], [1.8, 2.2]], dtype=np.float32)
+        self._check(typed=True, needs_energy=True, rc_matrix=rc)
