@@ -145,10 +145,22 @@ def run_config(n, steps, equil, rounds, pair_decl=False, proxy=False):
     tfc = htf.tfcompute(model)
     tfc.attach(sim, r_cut=3.0, nlist="cellwise", train=True)
     sim.run(max(equil // 4, 10))          # warm/compile the train scan
+    # loss_before window: the UNTRAINED model, right after attach (the
+    # warm/replan runs below keep training, so a later capture would
+    # record an already-converged model as "before")
+    hist = sim.tfc.loss_history
+    w0 = min(50, max(len(hist) // 4, 1))
+    loss0 = float(np.mean(hist[:w0])) if hist else None
     # adopt the occupancy-calibrated minimum-lane plan NOW (the
     # auto-replan's step-count throttle would otherwise land the
     # replan + recompile inside a timed round; production runs are
     # long enough not to care, benchmark rounds are not)
+    # accumulate >= 300 steps of measured occupancy BEFORE replanning:
+    # below that the planner falls back to a positions snapshot and the
+    # plan it produces can sit 1.2-1.4x off the calibrated one -- which
+    # the freeze below would then lock in for the timed rounds
+    sim.run(max(300, steps))
+    jax.block_until_ready(sim.state.positions)
     sim.replan()
     # warm with the TIMED round's own step count: scan programs are
     # cached per block length, so a shorter warm run leaves the timed
@@ -157,20 +169,14 @@ def run_config(n, steps, equil, rounds, pair_decl=False, proxy=False):
     # weak #2c -- now also visible per-round in times_s)
     sim.run(steps)
     jax.block_until_ready(sim.state.positions)
-    # adopt any further occupancy-calibrated tightening, re-warm, then
     # freeze the plan for the timed rounds: a boundary auto-replan's
     # recompile must not land inside one. Overflow self-healing stays
     # armed -- correctness rollbacks are never disabled.
-    sim.replan()
-    sim.run(steps)
-    jax.block_until_ready(sim.state.positions)
     sim.auto_replan = False
 
     # the instantaneous force-matching loss rides the density
     # fluctuations of the live fluid; windowed means (50 steps) measure
     # the training trend instead of two noisy samples
-    hist = sim.tfc.loss_history
-    n0 = len(hist)
     times = []
     for _ in range(rounds):
         t0 = time.perf_counter()
@@ -178,9 +184,8 @@ def run_config(n, steps, equil, rounds, pair_decl=False, proxy=False):
         jax.block_until_ready(sim.state.positions)
         times.append(time.perf_counter() - t0)
     hist = sim.tfc.loss_history
-    w = min(50, max((len(hist) - n0) // 4, 1))
-    loss0 = float(np.mean(hist[n0:n0 + w])) if len(hist) > n0 else None
-    loss1 = float(np.mean(hist[-w:])) if len(hist) > n0 else None
+    w = min(50, max(len(hist) // 4, 1))
+    loss1 = float(np.mean(hist[-w:])) if hist else None
     best = min(times)
     return {
         "n_particles": n, "nn": 64, "train": True,
