@@ -347,7 +347,11 @@ class TestSimulationParity:
         sim = fluid_sim(n=n, integrator=htf.md.NVT(kT=1.1, tau=0.5),
                         kT_init=1.1, jitter=0.1)
         htf.tfcompute(LJ(48)).attach(sim, r_cut=2.5, nlist="cellwise")
-        sim.run(900)
+        # 400 steps = 4 thermostat taus: the diluted-dof bug drives T
+        # toward ~0.55 well within that (starts AT the 1.1 target, so
+        # a correct run only has to hold it) -- 900 steps measured the
+        # same verdict at 2x the single-core wall time
+        sim.run(400)
         t = sim.thermo()["temperature"]
         # without the thermostat['dof'] fix the ghost rows dilute dof by
         # the slots/N ratio (~2x here) and T settles far from the target
