@@ -8,10 +8,14 @@ sum.  Its generic backward builds that sum in XLA over the rank-3
 function through it -- correct for arbitrary ``pair_apply``, but it
 re-materializes in XLA exactly the hundreds-of-MB intermediates the
 *primal* moved to the Pallas half-stencil kernel to avoid
-(ops/cellwise_pallas.py).  Measured at the honest 64k state that
-backward alone costs ~5x the primal kernel (probes/kbench26) and is
-the whole reason online training ran a ~6.5x tax over eval
-(benchmarks/north_star.json, round 4).
+(ops/cellwise_pallas.py).  Measured at the honest 64k state
+(probes/kbench26): backward ~3.5 ms vs the 1.3 ms eval kernel — the
+single biggest piece of the ~6.5x online-training tax of round 4
+(benchmarks/north_star.json).  XLA fuses this single-reduction shape
+well (the XLA and Pallas backwards measure equal); this kernel keeps
+the backward off the XLA fusion cliff, carries the occupancy
+machinery, and is the form a future reduced-precision moment pass
+drops into.
 
 For the Chebyshev proxy the generic machinery is overkill: the lane
 function is LINEAR in its coefficients, so the parameter gradient is
