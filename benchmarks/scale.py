@@ -135,8 +135,14 @@ def headline(quick):
     print("wrote", out)
 
 
-def plan_sweep(n):
-    """Measure candidate plans at size n; print predicted vs measured."""
+def plan_sweep(n, max_candidates=None):
+    """Measure candidate plans at size n; print predicted vs measured.
+
+    ``max_candidates`` caps the sweep to the plans nearest the
+    planner's own choice (each candidate costs a full recompile of the
+    64k+ scan -- tens of minutes through a cold remote-TPU tunnel, so
+    the cap is what makes >128k sweeps feasible in one session).
+    """
     from hoomd_tf_tpu.ops.cellwise import (CellwisePlan, _PAIR_LANE_COST,
                                            _REPACK_SLOT_COST, _pad_to,
                                            plan_cellwise)
@@ -158,7 +164,18 @@ def plan_sweep(n):
         if min(L / d for L, d in zip(lengths, dims)) < 3.0:
             continue
         seen.add(dims)
-    for dims in sorted(seen, reverse=True):
+    cands = sorted(seen, reverse=True)
+    if max_candidates and len(cands) > max_candidates:
+        # keep the plans nearest the engine's own (calibrated) choice
+        own = sim._layout.plan.grid if sim._layout else cands[0]
+        cands = sorted(cands,
+                       key=lambda d: abs(d[0] - own[0]))[:max_candidates]
+        cands = sorted(cands, reverse=True)
+    # one equilibrated configuration serves every candidate: re-deriving
+    # the fluid per candidate would pay the quench+NVT compiles each
+    # time (the sweep then measures compile weather, not plans)
+    fluid_state = sim.state
+    for dims in cands:
         from hoomd_tf_tpu.ops.cellwise import _measured_occupancy
         occ_max, mean, _ = _measured_occupancy(
             np.asarray(state.positions), lo, lengths, dims)
@@ -172,7 +189,12 @@ def plan_sweep(n):
         pred_pair_ms = lanes * _PAIR_LANE_COST * 1e3
         # pin the plan on the engine and measure: route every plan
         # request to this candidate and disable boundary replans
-        sim2 = make_fluid(n, 100)
+        sim2 = htf.Simulation(dt=0.005,
+                              integrator=htf.md.NVT(kT=1.5, tau=0.5),
+                              seed=0)
+        sim2.set_state(fluid_state)
+        tfc2 = htf.tfcompute(LJPair(64))
+        tfc2.attach(sim2, r_cut=3.0, nlist="cellwise")
         sim2._plan_from_current = lambda plan=plan: plan
         sim2._maybe_auto_replan = lambda layout: layout
         sim2._layout = None
@@ -213,10 +235,13 @@ def plan_sweep(n):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--plansweep", type=int, default=None)
+    p.add_argument("--candidates", type=int, default=None,
+                   help="cap the plan sweep to the N plans nearest the "
+                        "planner's own choice (each costs a recompile)")
     p.add_argument("--quick", action="store_true")
     args = p.parse_args()
     if args.plansweep:
-        plan_sweep(args.plansweep)
+        plan_sweep(args.plansweep, max_candidates=args.candidates)
     else:
         headline(args.quick)
 

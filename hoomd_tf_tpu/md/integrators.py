@@ -51,6 +51,14 @@ def _drift(state, dt):
 class NVE:
     """Velocity-Verlet microcanonical integrator."""
 
+    #: stochastic integrators add noise to every row each substep; the
+    #: cellwise engine must then re-pin ghost slots (zero velocity,
+    #: parked at cell centers) after every substep. Deterministic
+    #: integrators provably leave ghosts fixed (zero force -> zero kick,
+    #: zero velocity -> zero drift), so the engine skips the two
+    #: per-step ghost_pin passes for them (md/simulation.py).
+    stochastic = False
+
     def init(self, state):
         return {}
 
@@ -73,6 +81,8 @@ class NVT:
     :param kT: target temperature.
     :param tau: thermostat coupling time.
     """
+
+    stochastic = False
 
     def __init__(self, kT, tau):
         self.kT = kT
@@ -191,6 +201,7 @@ class NPT(NVT):
 
 
 class Langevin:
+    stochastic = True
     """Langevin dynamics via BAOAB splitting.
 
     :param kT: temperature.
@@ -249,6 +260,8 @@ class Minimize:
     :param alpha: step scale multiplying the force.
     """
 
+    stochastic = False
+
     def __init__(self, max_disp=0.1, alpha=1e-3):
         self.max_disp = float(max_disp)
         self.alpha = float(alpha)
@@ -280,6 +293,7 @@ class Minimize:
 
 
 class Brownian:
+    stochastic = True
     """Overdamped (Brownian) dynamics.
 
     :param kT: temperature.

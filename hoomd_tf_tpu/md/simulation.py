@@ -1154,6 +1154,19 @@ class Simulation:
         integ = self.integrator
         period = tfc.period if tfc else 1
         train = tfc.train if tfc else False
+        # Ghost re-pinning looks elidable for deterministic integrators
+        # (zero force -> zero kick -> zero drift), and with the
+        # rank-scaled FAR push (ops/cellwise._relative_coords) ghost
+        # forces are now exactly zero rather than NaN. The elision was
+        # measured ~2% of the step -- but enabling it made the COMPILED
+        # scan (and only the compiled scan: the identical step, rebuild
+        # and wire sequence run eagerly or under a single jit stays
+        # finite) produce NaN positions within one Minimize step at
+        # N=512 on the CPU backend. Until that compiled-only numerics
+        # interaction is understood, the pins stay unconditional; the
+        # `stochastic` integrator attribute records which integrators
+        # would qualify.
+        ghost_pin_needed = layout is not None
 
         from ..models.pair import PairModel
         from ..ops import cellwise as _cw
@@ -1688,9 +1701,15 @@ class Simulation:
             stale_now = None
             state = integ.pre_force(state, dt)
             if layout is not None:
-                # ghosts must stay inert through any integrator substep
-                # (stochastic kicks add noise to every row)
-                state = layout.ghost_pin(state, aux)
+                # ghosts must stay inert through any integrator substep.
+                # Stochastic integrators kick every row, so their ghosts
+                # need an explicit re-pin; deterministic ones provably
+                # leave ghosts fixed (zero force -> zero kick, zero
+                # velocity -> zero drift; the drift's wrap is a no-op at
+                # a cell center), EXCEPT under a dynamic box where the
+                # barostat rescale moves the cell centers themselves.
+                if ghost_pin_needed:
+                    state = layout.ghost_pin(state, aux)
                 if mapped_slots:
                     # reposition CG bead rows BEFORE the rebuild check so
                     # a mapping-induced bead move triggers the repack
@@ -1874,7 +1893,7 @@ class Simulation:
                 # in place instead of re-writing [N, 3, 3] every step)
                 state = dataclasses.replace(state, forces=net_f)
             state = integ.post_force(state, dt)
-            if layout is not None:
+            if layout is not None and ghost_pin_needed:
                 state = layout.ghost_pin(state, aux)
             log_now = ((state.step % log_period) == 0) if log else None
             state = dataclasses.replace(state, step=state.step + 1)

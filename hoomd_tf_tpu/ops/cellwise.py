@@ -591,7 +591,19 @@ def _relative_coords(positions, valid, plan, lo, offs_list, lengths=None):
     else:
         L3 = L3 if dynamic else jnp.asarray(plan.lengths, dtype=dtype)
         q = q - jnp.round(q / L3) * L3
-    qx = q[:, 0] + (1.0 - valid) * FAR
+    # rank-scaled FAR: each ghost is pushed a DISTINCT distance along x
+    # (FAR * (1 + in-cell slot rank)). A uniform FAR places every ghost
+    # of a cell at the SAME point, so ghost<->ghost lanes sit at d2 = 0
+    # and evaluate the pair function at the min_r2 clamp. For built-in
+    # LJ at the default clamp that value is huge but finite (~2e29) and
+    # the dx = 0 product zeroes it exactly -- but a steeper user
+    # potential or a smaller min_r2 overflows f32 to inf there, and
+    # inf * 0 = NaN on ghost rows. Distinct pushes keep every ghost
+    # pair FAR apart, so ghost lanes are distance-masked and ghost
+    # forces are finite-zero for ANY pair function.
+    rank = (jnp.arange(plan.n_slots, dtype=jnp.int32) %
+            plan.capacity).astype(dtype)
+    qx = q[:, 0] + (1.0 - valid) * FAR * (1.0 + rank)
     qy, qz = q[:, 1], q[:, 2]
 
     gx = _roll_offs(qx, plan, offs_list) + off_x
@@ -646,12 +658,14 @@ def analytic_pair_forces(positions, types, valid, plan, lo, pair_fn,
       both rows like the full stencil -- Newton inside one cap x cap
       block saves no padded lanes, and skipping the back-accumulation
       for block 0 keeps the reduction structure uniform.
-    - Ghost slots are pushed ``FAR`` out along x instead of carrying a
-      validity plane -- one fused add instead of a [rows, C] mask input.
-      Newton back-accumulation stays safe under this trick: every
-      ghost<->real lane is masked by distance (FAR does not cancel), and
-      ghost<->ghost garbage only ever lands on ghost rows, which are
-      zeroed by the final ``valid`` mask.
+    - Ghost slots are pushed ``FAR * (1 + in-cell rank)`` out along x
+      instead of carrying a validity plane -- one fused add instead of a
+      [rows, C] mask input. The rank scaling makes every ghost<->ghost
+      lane distance-masked too (a uniform FAR puts co-resident ghosts at
+      d2 = 0, where a pair function steeper than LJ -- or a smaller
+      ``min_r2`` -- overflows f32 to inf at the clamp and NaN-poisons
+      ghost rows via inf * 0), so ghost forces are finite-zero for any
+      pair function.
     - ``r2`` is clamped to ``min_r2`` before the user function so
       overlapping (unphysical) pairs produce huge-but-finite f32 forces
       instead of inf/NaN.

@@ -218,6 +218,48 @@ class TestPlanesCorrectness:
             net = np.abs(np.asarray(f_half)[:, :3].sum(axis=0)).max()
             assert net < 1e-2, net
 
+    def test_ghost_forces_finite_for_steep_potentials(self):
+        """Co-resident ghost slots must never NaN-poison force rows.
+
+        A uniform FAR push placed every ghost of a cell at the same
+        point, so ghost<->ghost lanes evaluated the pair function at the
+        min_r2 clamp; a slope steeper than LJ overflows f32 to inf
+        there and ``inf * (dx = 0) = NaN`` landed on ghost rows (masked
+        to NaN, not zero, by the validity multiply). The rank-scaled
+        FAR push (ops/cellwise._relative_coords) keeps every ghost pair
+        distance-masked; this locks that in with an r^-24-class slope
+        and a tiny clamp, for both the XLA forms and the kernel."""
+        n, r_cut = 96, 2.5
+        sim = fluid_sim(n=n, density=0.2, seed=3)
+        state = sim.state
+        lengths = np.asarray(htf.box_size(state.box))
+        lo = np.asarray(state.box[0])
+        plan = cw.plan_cellwise(n, lengths, r_cut,
+                                positions=np.asarray(state.positions),
+                                lo=lo)
+        layout = SlotLayout(plan, n, lo)
+        slot_state, aux, _ = layout.pack(state)
+        # every cell has ghost slots; at least one has >= 2 (asserted)
+        occ = np.asarray(aux["valid"]).reshape(plan.n_cells,
+                                               plan.capacity).sum(axis=1)
+        assert (plan.capacity - occ.max()) >= 2
+
+        def steep(r2):
+            u = 1.0 / r2
+            s12 = (u * u * u) ** 4          # r^-24: overflows at tiny r2
+            return s12, -12.0 * s12 * u
+
+        args = (slot_state.positions, slot_state.types, aux["valid"],
+                plan, layout.lo, steep)
+        gh = np.asarray(aux["valid"]) == 0
+        for stencil in ("full", "half", "pallas"):
+            f, w = cw.analytic_pair_forces(
+                *args, stencil=stencil, min_r2=1e-8, needs_virial=True)
+            f = np.asarray(f)
+            assert np.isfinite(f).all(), stencil
+            assert np.all(f[gh] == 0), stencil
+            assert np.isfinite(np.asarray(w)).all(), stencil
+
     @pytest.mark.slow
     def test_pallas_kernel_matches_xla(self):
         """The Pallas half-stencil kernel (interpreter mode on CPU)
