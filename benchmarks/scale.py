@@ -215,21 +215,25 @@ def plan_sweep(n, max_candidates=None):
                                         if sps else None),
                "steps_per_s": round(sps, 1) if sps else None,
                "static_K": K}
-        print(json.dumps(row))
+        print(json.dumps(row), flush=True)
         rows.append(row)
         del sim2
-    out = os.path.join(os.path.dirname(__file__), "plan_sweep.json")
-    prior = []
-    if os.path.exists(out):
-        with open(out) as f:
-            prior = json.load(f).get("rows", [])
-    with open(out, "w") as f:
-        json.dump({"metric": "plan-sweep cost-model validation "
-                             "(predicted padded-lane cost vs measured "
-                             "step time per candidate plan)",
-                   "device": str(jax.devices()[0]),
-                   "rows": prior + rows}, f, indent=1)
-    print("wrote", out)
+        # write after EVERY row: each candidate costs a multi-minute
+        # recompile through the tunnel, and a cut-off sweep should
+        # still leave its finished rows on disk
+        out = os.path.join(os.path.dirname(__file__), "plan_sweep.json")
+        prior = []
+        if os.path.exists(out):
+            with open(out) as f:
+                prior = json.load(f).get("rows", [])
+        with open(out, "w") as f:
+            json.dump({"metric": "plan-sweep cost-model validation "
+                                 "(predicted padded-lane cost vs "
+                                 "measured step time per candidate "
+                                 "plan)",
+                       "device": str(jax.devices()[0]),
+                       "rows": prior + [row]}, f, indent=1)
+    print("wrote plan_sweep.json")
 
 
 def main():
