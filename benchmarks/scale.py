@@ -135,13 +135,15 @@ def headline(quick):
     print("wrote", out)
 
 
-def plan_sweep(n, max_candidates=None):
+def plan_sweep(n, max_candidates=None, grids=None):
     """Measure candidate plans at size n; print predicted vs measured.
 
     ``max_candidates`` caps the sweep to the plans nearest the
     planner's own choice (each candidate costs a full recompile of the
     64k+ scan -- tens of minutes through a cold remote-TPU tunnel, so
     the cap is what makes >128k sweeps feasible in one session).
+    ``grids`` (list of (nx, ny, nz)) overrides the candidate scan --
+    for re-probing a single plan (e.g. one that errored in a sweep).
     """
     from hoomd_tf_tpu.ops.cellwise import (CellwisePlan, _PAIR_LANE_COST,
                                            _REPACK_SLOT_COST, _pad_to,
@@ -165,7 +167,9 @@ def plan_sweep(n, max_candidates=None):
             continue
         seen.add(dims)
     cands = sorted(seen, reverse=True)
-    if max_candidates and len(cands) > max_candidates:
+    if grids:
+        cands = [tuple(g) for g in grids]
+    elif max_candidates and len(cands) > max_candidates:
         # keep the plans nearest the engine's own (calibrated) choice
         own = sim._layout.plan.grid if sim._layout else cands[0]
         cands = sorted(cands,
@@ -200,13 +204,18 @@ def plan_sweep(n, max_candidates=None):
         sim2._layout = None
         sim2._layout_key = None
         sim2._scan_cache.clear()
+        err = None
         try:
             sim2.run(30)   # compile + settle
             jax.block_until_ready(sim2.state.positions)
             best, _ = time_steps(sim2, 100, 2)
             sps = 100 / best
         except Exception as e:
+            # a failed candidate is itself sweep data (e.g. a pinned
+            # plan whose capacity the live fluid overflows -- the
+            # self-heal replan is disabled here by design); record why
             sps = None
+            err = f"{type(e).__name__}: {e}"[:200]
         K = sim2._static_K_last
         row = {"n_particles": n, "grid": list(dims), "capacity": cap,
                "padded_lanes_M": round(lanes / 1e6, 1),
@@ -215,6 +224,8 @@ def plan_sweep(n, max_candidates=None):
                                         if sps else None),
                "steps_per_s": round(sps, 1) if sps else None,
                "static_K": K}
+        if err is not None:
+            row["error"] = err
         print(json.dumps(row), flush=True)
         rows.append(row)
         del sim2
@@ -242,10 +253,18 @@ def main():
     p.add_argument("--candidates", type=int, default=None,
                    help="cap the plan sweep to the N plans nearest the "
                         "planner's own choice (each costs a recompile)")
+    p.add_argument("--grids", type=str, default=None,
+                   help="comma-separated explicit grids for the plan "
+                        "sweep, e.g. '19x19x19,20x20x20'")
     p.add_argument("--quick", action="store_true")
     args = p.parse_args()
     if args.plansweep:
-        plan_sweep(args.plansweep, max_candidates=args.candidates)
+        grids = None
+        if args.grids:
+            grids = [tuple(int(v) for v in g.split("x"))
+                     for g in args.grids.split(",")]
+        plan_sweep(args.plansweep, max_candidates=args.candidates,
+                   grids=grids)
     else:
         headline(args.quick)
 
